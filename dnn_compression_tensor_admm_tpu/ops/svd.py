@@ -1,0 +1,73 @@
+"""Truncated SVD primitives, jit-able and TPU-friendly.
+
+Replaces the reference's host-side ``numpy.linalg.svd`` calls
+(reference: admm.py:129-149, SVDConv.py:89-96).
+
+Two execution paths:
+
+* ``method='svd'`` — exact `jnp.linalg.svd`. Used for one-off
+  decompose-at-init where fidelity matters.
+* ``method='gram'`` — eigendecomposition of the (small-side) Gram matrix.
+  For an ``m x n`` unfolding with ``m << n`` this costs ``O(m^2 n + m^3)``
+  with a single big MXU-friendly matmul instead of an SVD of the full
+  matrix, at the price of squaring the condition number. This is the hot
+  path inside the per-epoch ADMM Z-step where the projection target is a
+  regularizer, not a final answer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ._precision import mm
+
+
+def truncated_left_sv(a: jax.Array, rank: int, method: str = "svd"):
+    """Top-`rank` left singular vectors of 2-D array `a`.
+
+    Returns `u` of shape ``[m, rank]`` with orthonormal columns spanning the
+    dominant left singular subspace. Singular-vector signs are unspecified
+    (reconstructions ``u @ u.T @ a`` are invariant).
+    """
+    m = a.shape[0]
+    rank = min(rank, m, a.shape[1])
+    if method == "gram":
+        g = mm(a, a.T)  # [m, m]
+        # eigh returns ascending eigenvalues; take the trailing `rank` columns.
+        _, vecs = jnp.linalg.eigh(g)
+        u = vecs[:, m - rank:][:, ::-1]
+        return u
+    u, _, _ = jnp.linalg.svd(a, full_matrices=False)
+    return u[:, :rank]
+
+
+def truncated_svd(a: jax.Array, rank: int):
+    """Rank-`rank` truncated SVD of 2-D `a` -> (u, s, vt)."""
+    rank = min(rank, a.shape[0], a.shape[1])
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    return u[:, :rank], s[:rank], vt[:rank, :]
+
+
+def svd_project(a: jax.Array, rank: int) -> jax.Array:
+    """Closest (Frobenius) rank-`rank` matrix to `a` (Eckart-Young).
+
+    The Z-step projection for the 'svd' format
+    (reference: admm.py:129-149 — done there on CPU NumPy; here on device).
+    """
+    u, s, vt = truncated_svd(a, rank)
+    return mm(u * s[None, :], vt)
+
+
+def svd_factors_scaled(a: jax.Array, rank: int):
+    """Balanced rank-`rank` factorization ``a ~= p @ q``.
+
+    Singular values are split as sqrt(s) into both factors, the layout used
+    by the SVD layer init (reference: SVDConv.py:89-96 folds full `s` into
+    one factor; the balanced split is numerically better for subsequent
+    fine-tuning and equivalent in function space).
+    Returns (p [m, r], q [r, n]).
+    """
+    u, s, vt = truncated_svd(a, rank)
+    rs = jnp.sqrt(s)
+    return u * rs[None, :], rs[:, None] * vt
