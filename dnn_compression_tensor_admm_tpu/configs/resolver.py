@@ -1,0 +1,63 @@
+"""Rank-plan registry: (model, format, ratio, tt_type) -> RankPlan.
+
+Replaces the reference's `utils.get_hp_dict` if/elif import ladder
+(utils.py:258-400). Plans self-register via `register_plan` from the
+per-model config modules in this package.
+"""
+
+from __future__ import annotations
+
+import importlib
+import re
+from typing import Callable, Dict, Tuple
+
+from .hp import RankPlan
+
+_REGISTRY: Dict[Tuple[str, str, str, str], Callable[[], RankPlan]] = {}
+
+# Config modules that register plans on import (lazy, to keep import light).
+_PLAN_MODULES = [
+    "dnn_compression_tensor_admm_tpu.configs.plans.resnet_cifar",
+    "dnn_compression_tensor_admm_tpu.configs.plans.resnet_inet",
+    "dnn_compression_tensor_admm_tpu.configs.plans.deit",
+    "dnn_compression_tensor_admm_tpu.configs.plans.mobilenetv2",
+    "dnn_compression_tensor_admm_tpu.configs.plans.densenet",
+    "dnn_compression_tensor_admm_tpu.configs.plans.vgg",
+]
+_LOADED = False
+
+
+def register_plan(model: str, fmt: str, ratio: str, tt_type: str = "general"):
+    """Decorator: register a zero-arg plan builder."""
+    def deco(fn):
+        _REGISTRY[(model, fmt, str(ratio), tt_type)] = fn
+        return fn
+    return deco
+
+
+def _load_all():
+    global _LOADED
+    if _LOADED:
+        return
+    for mod in _PLAN_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            pass
+    _LOADED = True
+
+
+def strip_format_prefix(model: str) -> str:
+    """'tkc_resnet32' -> 'resnet32' (reference: utils.py:259-261)."""
+    return re.sub(r"^(tt|tk|svd|stftk)(r|m|c)?_", "", model)
+
+
+def get_rank_plan(model: str, fmt: str, ratio: str, tt_type: str = "general") -> RankPlan:
+    """Resolve the plan for a model name (with or without format prefix)."""
+    _load_all()
+    base = strip_format_prefix(model)
+    key = (base, fmt, str(ratio), tt_type)
+    if key not in _REGISTRY:
+        avail = sorted(k for k in _REGISTRY if k[0] == base)
+        raise KeyError(f"no rank plan for {key}; available for {base}: {avail}")
+    return _REGISTRY[key]()
