@@ -1,0 +1,219 @@
+"""ADMM engine: state, Z-projection program, dual ascent, penalty.
+
+Reference semantics (admm.py):
+
+* state: per-layer dual U (init zeros) and auxiliary Z (init = W)
+  (admm.py:32-40); at training start `update(update_u=False)` replaces Z
+  by the projection of W (engines.py:245).
+* per-epoch `update()`: Z <- proj(W + U); U += W - Z (admm.py:42-78).
+* per-step penalty: loss += 0.5 * rho * ||W - Z + U||^2 (admm.py:80-85).
+* `adjust_rho`: rho *= factor after 85% of epochs (admm.py:87-89).
+
+TPU-first re-design: the reference moves every weight to host NumPy and
+runs tensorly/numpy SVDs serially per layer (admm.py:50-67). Here the
+set of target layers is compiled once into a `ProjectionProgram`: layers
+are bucketed by (projection kind, spec, shape), each bucket is stacked
+into one [L, ...] array and projected under `jax.vmap`, and the whole
+update is one jitted program that never leaves the device. U and Z live
+in a flat {canonical_name: array} pytree, so they checkpoint/restore
+with the rest of training state (the reference silently drops ADMM state
+on resume — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..configs.hp import RankPlan, SVDSpec, TKSpec, TTConvSpec, TTLinearSpec
+from ..layers.common import canonical_param_name
+from ..ops.svd import svd_project
+from ..ops.ttd import tt_project
+from ..ops.tucker import tucker2_project
+
+
+class AdmmState(flax.struct.PyTreeNode):
+    """Checkpointable ADMM state: flat name->array maps for U and Z.
+
+    Arrays are stored in the *parameter's own layout* (e.g. HWIO conv
+    kernels) so the penalty is a plain tree reduction against params;
+    projections transpose to the canonical [O, I, ...] view internally.
+    """
+    u: Dict[str, jax.Array]
+    z: Dict[str, jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class _Group:
+    """One vmap bucket: all layers sharing a projection signature."""
+    kind: str                       # 'tt_conv' | 'tk' | 'svd_conv' | 'tt_linear' | 'tk_linear' | 'svd_linear'
+    names: Tuple[str, ...]
+    spec: Any
+    param_shape: Tuple[int, ...]    # storage-layout shape (HWIO for convs)
+    is_conv: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionProgram:
+    """Static description of the Z-step for one (model, plan) pair."""
+    groups: Tuple[_Group, ...]
+    paths: Any  # dict name -> tuple path into the nested param dict
+
+
+def _iter_params(params) -> List[Tuple[Tuple[str, ...], jax.Array]]:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = []
+    for keypath, arr in flat:
+        path = tuple(getattr(k, "key", getattr(k, "idx", None)) for k in keypath)
+        out.append((path, arr))
+    return out
+
+
+def _classify(spec, arr) -> Tuple[str, bool]:
+    is_conv = arr.ndim == 4
+    if isinstance(spec, TTConvSpec):
+        return "tt_conv", is_conv
+    if isinstance(spec, TTLinearSpec):
+        return "tt_linear", is_conv
+    if isinstance(spec, TKSpec):
+        return ("tk_conv" if is_conv else "tk_linear"), is_conv
+    if isinstance(spec, SVDSpec):
+        return ("svd_conv" if is_conv else "svd_linear"), is_conv
+    raise TypeError(f"unknown spec type {type(spec)}")
+
+
+def build_program(params, plan: RankPlan) -> ProjectionProgram:
+    """Compile the plan against a concrete param tree into vmap buckets.
+
+    Layer selection matches the reference: a parameter participates iff
+    its canonical name is a key of the plan (admm.py:35-36, 43-44).
+    """
+    buckets: Dict[Tuple, List[Tuple[str, Tuple[str, ...]]]] = {}
+    paths: Dict[str, Tuple[str, ...]] = {}
+    matched = set()
+    for path, arr in _iter_params(params):
+        name = canonical_param_name(path)
+        spec = plan.spec(name)
+        if spec is None:
+            continue
+        matched.add(name)
+        kind, is_conv = _classify(spec, arr)
+        key = (kind, spec, tuple(arr.shape))
+        buckets.setdefault(key, []).append((name, path))
+        paths[name] = path
+    missing = set(plan.names()) - matched
+    if missing:
+        raise ValueError(f"plan names not found in params: {sorted(missing)}")
+    groups = tuple(
+        _Group(kind=k[0], spec=k[1], param_shape=k[2],
+               names=tuple(n for n, _ in v), is_conv=k[0].endswith("conv") or k[0] == "tk_conv")
+        for k, v in sorted(buckets.items(), key=lambda kv: kv[1][0][0])
+    )
+    return ProjectionProgram(groups=groups, paths=paths)
+
+
+# ---------------------------------------------------------------------------
+# projections (single-layer, canonical [O, I, ...] views) — vmapped per group
+
+def _project_one(kind: str, spec, w: jax.Array, *, method: str, n_iter: int) -> jax.Array:
+    """Project one weight in storage layout; returns same layout."""
+    if kind == "tt_conv":
+        # HWIO -> [O, kh*kw, I] (reference admm.py:96 transposes OIHW the same way)
+        kh, kw, i, o = w.shape
+        t = jnp.transpose(w, (3, 0, 1, 2)).reshape(o, kh * kw, i)
+        z = tt_project(t, spec.tt_shapes, spec.tt_ranks, method=method)
+        return jnp.transpose(z.reshape(o, kh, kw, i), (1, 2, 3, 0))
+    if kind == "tk_conv":
+        kh, kw, i, o = w.shape
+        t = jnp.transpose(w, (3, 2, 0, 1))  # OIHW
+        sp = spec.clamped(t.shape)
+        z = tucker2_project(t, sp.out_rank, sp.in_rank, n_iter=n_iter, method=method)
+        return jnp.transpose(z, (2, 3, 1, 0))
+    if kind == "svd_conv":
+        kh, kw, i, o = w.shape
+        assert kh == 1 and kw == 1, "svd projection targets 1x1 convs"
+        z = svd_project(w.reshape(i, o).T, spec.rank)  # [O, I]
+        return z.T.reshape(1, 1, i, o)
+    if kind == "tt_linear":
+        z = tt_project(w.reshape(spec.tt_shapes), spec.tt_shapes, spec.tt_ranks,
+                       method=method)
+        return z.reshape(w.shape)
+    if kind == "tk_linear":
+        sp = spec.clamped(w.shape)
+        return tucker2_project(w, sp.out_rank, sp.in_rank, n_iter=n_iter, method=method)
+    if kind == "svd_linear":
+        return svd_project(w, spec.rank)
+    raise ValueError(kind)
+
+
+def _get(params, path):
+    node = params
+    for k in path:
+        node = node[k]
+    return node
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+def admm_init(params, program: ProjectionProgram) -> AdmmState:
+    """U = 0, Z = W (reference admm.py:35-40). Call `admm_update` with
+    ``update_u=False`` right after to set Z to the first projection
+    (engines.py:245)."""
+    u, z = {}, {}
+    for name, path in program.paths.items():
+        w = _get(params, path)
+        u[name] = jnp.zeros_like(w)
+        z[name] = w
+    return AdmmState(u=u, z=z)
+
+
+def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
+                update_u: bool = True, method: str = "svd",
+                n_iter: int = 10) -> Tuple[AdmmState, Dict[str, jax.Array]]:
+    """One Z/U step: Z <- proj(W + U); optionally U += W - Z.
+
+    Jit this with `program`, `update_u`, `method`, `n_iter` static. Layers
+    inside each bucket are projected as one vmapped batch; XLA runs the
+    buckets' SVD chains concurrently where the chip allows.
+
+    Returns (new_state, residual_norms {name: ||W - Z||}) — the metric the
+    reference exposes via --verbose/--log (admm.py:75-78).
+    """
+    new_u = dict(state.u)
+    new_z = dict(state.z)
+    residuals: Dict[str, jax.Array] = {}
+    for g in program.groups:
+        ws = jnp.stack([_get(params, program.paths[n]) for n in g.names])
+        us = jnp.stack([state.u[n] for n in g.names])
+        proj = lambda w: _project_one(g.kind, g.spec, w, method=method, n_iter=n_iter)
+        zs = jax.vmap(proj)(ws + us)
+        diffs = ws - zs
+        norms = jnp.sqrt(jnp.sum(diffs.reshape(diffs.shape[0], -1) ** 2, axis=1))
+        for j, n in enumerate(g.names):
+            new_z[n] = zs[j]
+            if update_u:
+                new_u[n] = state.u[n] + diffs[j]
+            residuals[n] = norms[j]
+    return AdmmState(u=new_u, z=new_z), residuals
+
+
+def admm_penalty(params, state: AdmmState, program: ProjectionProgram,
+                 rho) -> jax.Array:
+    """0.5 * rho * sum_l ||W_l - Z_l + U_l||^2 (reference admm.py:80-85)."""
+    total = 0.0
+    for name, path in program.paths.items():
+        w = _get(params, path)
+        d = w - state.z[name] + state.u[name]
+        total = total + jnp.sum(d.astype(jnp.float32) ** 2)
+    return 0.5 * rho * total
+
+
+def adjust_rho(epoch: int, epochs: int, init_rho: float, factor: float = 5.0) -> float:
+    """Late-training rho boost (reference admm.py:87-89; call is commented
+    out in the reference training loop, engines.py:272 — off by default)."""
+    return factor * init_rho if epoch > int(0.85 * epochs) else init_rho
