@@ -138,15 +138,19 @@ def _project_one(kind: str, spec, w: jax.Array, *, method: str, n_iter: int) -> 
         assert kh == 1 and kw == 1, "svd projection targets 1x1 convs"
         z = svd_project(w.reshape(i, o).T, spec.rank)  # [O, I]
         return z.T.reshape(1, 1, i, o)
+    # 2-D weights: flax Dense stores [in, out]; canonical view (and all
+    # specs, matching the reference's torch [out, in]) is the transpose.
     if kind == "tt_linear":
-        z = tt_project(w.reshape(spec.tt_shapes), spec.tt_shapes, spec.tt_ranks,
+        t = w.T
+        z = tt_project(t.reshape(spec.tt_shapes), spec.tt_shapes, spec.tt_ranks,
                        method=method)
-        return z.reshape(w.shape)
+        return z.reshape(t.shape).T
     if kind == "tk_linear":
-        sp = spec.clamped(w.shape)
-        return tucker2_project(w, sp.out_rank, sp.in_rank, n_iter=n_iter, method=method)
+        t = w.T
+        sp = spec.clamped(t.shape)
+        return tucker2_project(t, sp.out_rank, sp.in_rank, n_iter=n_iter, method=method).T
     if kind == "svd_linear":
-        return svd_project(w, spec.rank)
+        return svd_project(w.T, spec.rank).T
     raise ValueError(kind)
 
 

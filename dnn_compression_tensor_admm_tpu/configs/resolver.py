@@ -15,14 +15,17 @@ from .hp import RankPlan
 
 _REGISTRY: Dict[Tuple[str, str, str, str], Callable[[], RankPlan]] = {}
 
-# Config modules that register plans on import (lazy, to keep import light).
+# Model modules register their plans on import (lazy, to keep import light;
+# model code knows the architectural facts — e.g. per-stage channel counts —
+# needed to type the raw rank tables).
 _PLAN_MODULES = [
-    "dnn_compression_tensor_admm_tpu.configs.plans.resnet_cifar",
-    "dnn_compression_tensor_admm_tpu.configs.plans.resnet_inet",
-    "dnn_compression_tensor_admm_tpu.configs.plans.deit",
-    "dnn_compression_tensor_admm_tpu.configs.plans.mobilenetv2",
-    "dnn_compression_tensor_admm_tpu.configs.plans.densenet",
-    "dnn_compression_tensor_admm_tpu.configs.plans.vgg",
+    "dnn_compression_tensor_admm_tpu.models.resnet_cifar",
+    "dnn_compression_tensor_admm_tpu.models.resnet_inet",
+    "dnn_compression_tensor_admm_tpu.models.vit",
+    "dnn_compression_tensor_admm_tpu.models.mobilenetv2",
+    "dnn_compression_tensor_admm_tpu.models.mobilenetv2_cifar",
+    "dnn_compression_tensor_admm_tpu.models.densenet",
+    "dnn_compression_tensor_admm_tpu.models.vgg",
 ]
 _LOADED = False
 
