@@ -1,0 +1,93 @@
+"""HBM-resident dataset with in-jit sampling and augmentation.
+
+The reference feeds batches through a torch DataLoader with host-side
+torchvision transforms (datasets.py:142-239). On TPU the whole
+CIFAR-scale dataset fits in HBM, so a train step takes only a PRNG key:
+index sampling, gather, pad-crop, horizontal flip and normalization all
+happen inside the compiled step. This removes the host input pipeline
+from the critical path entirely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .datasets import DatasetInfo
+
+
+@dataclasses.dataclass
+class DeviceDataset:
+    images: jax.Array  # uint8 [N, H, W, C] on device
+    labels: jax.Array  # int32 [N]
+    info: DatasetInfo
+
+    @property
+    def n(self) -> int:
+        return self.images.shape[0]
+
+    @staticmethod
+    def from_numpy(x: np.ndarray, y: np.ndarray, info: DatasetInfo,
+                   sharding=None) -> "DeviceDataset":
+        xi = jnp.asarray(x)
+        yi = jnp.asarray(y)
+        if sharding is not None:
+            xi = jax.device_put(xi, sharding)
+            yi = jax.device_put(yi, sharding)
+        return DeviceDataset(images=xi, labels=yi, info=info)
+
+
+def sample_batch(ds_images, ds_labels, key, batch_size: int):
+    """Uniform with-replacement batch sampling (statistically equivalent to
+    shuffled epochs for SGD; avoids host-side permutation state)."""
+    n = ds_images.shape[0]
+    idx = jax.random.randint(key, (batch_size,), 0, n)
+    return jnp.take(ds_images, idx, axis=0), jnp.take(ds_labels, idx, axis=0)
+
+
+def normalize(x_u8, mean, std, dtype=jnp.float32):
+    m = jnp.asarray(mean, dtype=dtype) * 255.0
+    s = jnp.asarray(std, dtype=dtype) * 255.0
+    return (x_u8.astype(dtype) - m) / s
+
+
+def augment_batch(x_u8, key, *, pad: int = 4, flip: bool = True,
+                  mean=(0.5,), std=(0.5,), dtype=jnp.float32):
+    """Standard CIFAR recipe: reflect-free zero-pad `pad`, random crop back
+    to size, random horizontal flip, then normalize. All vmapped/jit-safe.
+    (Reference transform stack: datasets.py:142-239, RandomCrop(32, 4) +
+    RandomHorizontalFlip + Normalize.)"""
+    b, h, w, c = x_u8.shape
+    k_crop, k_flip = jax.random.split(key)
+    x = normalize(x_u8, mean, std, dtype)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    offs = jax.random.randint(k_crop, (b, 2), 0, 2 * pad + 1)
+
+    def crop_one(img, off):
+        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, c))
+
+    x = jax.vmap(crop_one)(xp, offs)
+    if flip:
+        do = jax.random.bernoulli(k_flip, 0.5, (b,))
+        x = jnp.where(do[:, None, None, None], x[:, :, ::-1, :], x)
+    return x
+
+
+def eval_batches(x: np.ndarray, y: np.ndarray, batch_size: int):
+    """Host-side deterministic batching for evaluation (pads the tail
+    batch and yields a validity mask)."""
+    n = x.shape[0]
+    for i in range(0, n, batch_size):
+        xb = x[i:i + batch_size]
+        yb = y[i:i + batch_size]
+        valid = np.ones(len(xb), dtype=bool)
+        if len(xb) < batch_size:
+            padn = batch_size - len(xb)
+            xb = np.concatenate([xb, np.repeat(xb[-1:], padn, axis=0)])
+            yb = np.concatenate([yb, np.repeat(yb[-1:], padn, axis=0)])
+            valid = np.concatenate([valid, np.zeros(padn, dtype=bool)])
+        yield xb, yb, valid

@@ -1,0 +1,288 @@
+"""Training/eval loops (reference: engines.py:36-368), TPU-first.
+
+Design: one ADMM epoch is (at most) two compiled programs —
+`admm_update` (the Z/U step, vmap-bucketed over layers) and an
+X-step program that `lax.scan`s `steps_per_epoch` train steps with
+in-jit data sampling/augmentation. The host does nothing per step;
+per-epoch it reads back a handful of scalar metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..admm import admm_init, admm_penalty, admm_update, build_program
+from ..admm.regularizers import orthogonal_penalty
+from ..configs.resolver import get_rank_plan
+from ..data.augment import mixup_cutmix
+from ..data.datasets import load_dataset
+from ..data.device_pipeline import augment_batch, eval_batches, sample_batch
+from ..models import create_model
+from .losses import cross_entropy, distillation_loss, soft_target_cross_entropy
+from .optim import make_optimizer, make_schedule
+from .state import TrainState, create_train_state
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "resnet32"
+    dataset: str = "cifar10"
+    data_dir: Optional[str] = None
+    num_classes: Optional[int] = None
+    batch_size: int = 256
+    epochs: int = 200
+    steps_per_epoch: Optional[int] = None  # default: len(train)/batch
+    lr: float = 0.1
+    opt: str = "momentum"
+    sched: str = "cosine"
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    warmup_epochs: int = 0
+    min_lr: float = 1e-5
+    decay_epochs: int = 30
+    decay_rate: float = 0.1
+    clip_grad: Optional[float] = None
+    smoothing: float = 0.0
+    mixup: float = 0.0
+    cutmix: float = 0.0
+    # ADMM
+    admm: bool = False
+    rho: float = 0.001
+    fmt: str = "tk"
+    ratio: str = "3"
+    tt_type: str = "general"
+    admm_method: str = "gram"      # projection subspace solver on the hot path
+    admm_hooi_iters: int = 6
+    adjust_rho_late: bool = False  # reference has this call commented out
+    orthogonal: bool = False
+    # distillation
+    distillation_type: str = "none"
+    distillation_alpha: float = 0.5
+    distillation_tau: float = 1.0
+    teacher_model: Optional[str] = None
+    teacher_variables: Any = None
+    # misc
+    ema_decay: float = 0.0
+    seed: int = 0
+    compute_dtype: Optional[str] = "bfloat16"
+    synthetic_size: Optional[int] = None  # cap synthetic dataset size (tests)
+    log_path: Optional[str] = None
+    eval_every: int = 1
+    print_fn: Callable = print
+
+
+def _criterion(cfg: TrainConfig):
+    mix = cfg.mixup > 0 or cfg.cutmix > 0
+    if mix:
+        return lambda logits, y_soft: soft_target_cross_entropy(logits, y_soft)
+    return lambda logits, y: cross_entropy(logits, y, cfg.smoothing)
+
+
+def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
+                    program=None, teacher=None, teacher_vars=None):
+    """Build the jitted (scanned) X-step for one epoch segment."""
+    mix_active = cfg.mixup > 0 or cfg.cutmix > 0
+    criterion = _criterion(cfg)
+    has_bn = True
+
+    def one_step(state: TrainState, rho):
+        rng, k_batch, k_aug, k_mix, k_drop = jax.random.split(state.rng, 5)
+        xb, yb = sample_batch(images, labels, k_batch, cfg.batch_size)
+        x = augment_batch(xb, k_aug, mean=info.mean, std=info.std)
+        if mix_active:
+            x, y_t = mixup_cutmix(x, yb, k_mix, num_classes=info.num_classes,
+                                  mixup_alpha=cfg.mixup, cutmix_alpha=cfg.cutmix,
+                                  smoothing=cfg.smoothing)
+        else:
+            y_t = yb
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(variables, x, train=True,
+                              mutable=["batch_stats"] if state.batch_stats is not None else [],
+                              rngs={"dropout": k_drop})
+            logits, mut = out if isinstance(out, tuple) else (out, {})
+            loss = criterion(logits, y_t)
+            if teacher is not None:
+                t_logits = teacher.apply(teacher_vars, x, train=False)
+                loss = distillation_loss(loss, logits, t_logits,
+                                         cfg.distillation_type,
+                                         cfg.distillation_alpha,
+                                         cfg.distillation_tau)
+            if program is not None:
+                loss = loss + admm_penalty(params, state.admm, program, rho)
+            if cfg.orthogonal:
+                loss = loss + orthogonal_penalty(params, rho)
+            return loss, (mut.get("batch_stats"), logits)
+
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = cfg.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema, new_params)
+        acc = jnp.mean((jnp.argmax(logits, -1) == yb).astype(jnp.float32))
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs if new_bs is not None else state.batch_stats,
+                                  opt_state=new_opt, ema_params=ema, rng=rng)
+        return new_state, {"loss": loss, "acc": acc}
+
+    @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
+    def run_steps(state: TrainState, rho, num_steps: int):
+        def body(s, _):
+            return one_step(s, rho)
+        state, metrics = jax.lax.scan(body, state, None, length=num_steps)
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    return run_steps
+
+
+def make_eval_step(model):
+    @jax.jit
+    def eval_step(variables, x, y, valid):
+        logits = model.apply(variables, x, train=False)
+        logits = logits.astype(jnp.float32)
+        top1 = (jnp.argmax(logits, -1) == y)
+        top5 = jnp.any(jnp.argsort(logits, axis=-1)[:, -5:] == y[:, None], axis=-1)
+        loss = -jnp.take_along_axis(jax.nn.log_softmax(logits), y[:, None], 1)[:, 0]
+        v = valid.astype(jnp.float32)
+        return (jnp.sum(top1 * v), jnp.sum(top5 * v), jnp.sum(loss * v), jnp.sum(v))
+    return eval_step
+
+
+def evaluate_model(model, variables, x_np, y_np, info, batch_size=512,
+                   eval_step=None):
+    """Top-1/top-5/loss over a numpy eval set (reference evaluate,
+    engines.py:36-65)."""
+    if eval_step is None:
+        eval_step = make_eval_step(model)
+    t1 = t5 = ls = n = 0.0
+    mean = np.asarray(info.mean) * 255.0
+    std = np.asarray(info.std) * 255.0
+    for xb, yb, valid in eval_batches(x_np, y_np, batch_size):
+        xf = (xb.astype(np.float32) - mean) / std
+        a, b, c, d = eval_step(variables, jnp.asarray(xf), jnp.asarray(yb),
+                               jnp.asarray(valid))
+        t1 += float(a); t5 += float(b); ls += float(c); n += float(d)
+    return {"acc1": 100.0 * t1 / n, "acc5": 100.0 * t5 / n, "loss": ls / n}
+
+
+def eval_runtime(model, variables, info, batch_size=256, iters=50, warmup=5):
+    """Per-image latency benchmark (reference eval_runtime,
+    engines.py:79-107): report ms/image over repeated timed sweeps."""
+    x = jnp.zeros((batch_size, info.input_size, info.input_size, len(info.mean)))
+    f = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    f(variables, x).block_until_ready()
+    for _ in range(warmup):
+        f(variables, x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(variables, x)
+    y.block_until_ready()
+    dt = time.perf_counter() - t0
+    return {"ms_per_image": 1000.0 * dt / (iters * batch_size),
+            "images_per_s": iters * batch_size / dt}
+
+
+def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None):
+    """Full training pipeline (reference train(), engines.py:110-368).
+
+    Returns (state, history). `init_variables` (e.g. from
+    `decompose_params`) overrides random init for the fine-tune phase.
+    """
+    log = cfg.print_fn
+    x_tr, y_tr, info = load_dataset(cfg.dataset, True, cfg.data_dir,
+                                    synthetic_size=cfg.synthetic_size)
+    x_va, y_va, _ = load_dataset(cfg.dataset, False, cfg.data_dir,
+                                 synthetic_size=(cfg.synthetic_size // 4
+                                                 if cfg.synthetic_size else None))
+    num_classes = cfg.num_classes or info.num_classes
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    model = create_model(cfg.model, num_classes=num_classes, dtype=dtype,
+                         **({"ratio": cfg.ratio, "tt_type": cfg.tt_type}
+                            if _is_compressed(cfg.model) else {}))
+
+    steps = cfg.steps_per_epoch or max(1, len(x_tr) // cfg.batch_size)
+    sched = make_schedule(cfg.sched, cfg.lr, cfg.epochs, steps,
+                          cfg.warmup_epochs, cfg.min_lr, cfg.decay_epochs,
+                          cfg.decay_rate)
+    tx = make_optimizer(cfg.opt, sched, momentum=cfg.momentum,
+                        weight_decay=cfg.weight_decay, clip_grad=cfg.clip_grad,
+                        stiefel=cfg.model.startswith("stf"))
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.zeros((1, info.input_size, info.input_size, len(info.mean)))
+    state = create_train_state(model, tx, rng, sample,
+                               ema=cfg.ema_decay > 0)
+    if init_variables is not None:
+        state = state.replace(params=init_variables["params"],
+                              batch_stats=init_variables.get("batch_stats",
+                                                             state.batch_stats))
+
+    program = None
+    if cfg.admm:
+        plan = get_rank_plan(cfg.model, cfg.fmt, cfg.ratio, cfg.tt_type)
+        program = build_program(state.params, plan)
+        state = state.replace(admm=admm_init(state.params, program))
+        z_step = jax.jit(partial(admm_update, program=program, update_u=False,
+                                 method=cfg.admm_method, n_iter=cfg.admm_hooi_iters))
+        zu_step = jax.jit(partial(admm_update, program=program, update_u=True,
+                                  method=cfg.admm_method, n_iter=cfg.admm_hooi_iters))
+        new_admm, _ = z_step(state.params, state.admm)  # engines.py:245
+        state = state.replace(admm=new_admm)
+
+    images = jnp.asarray(x_tr)
+    labels = jnp.asarray(y_tr)
+    run_steps = make_train_step(model, cfg, tx, images, labels,
+                                dataclasses.replace(info) if num_classes == info.num_classes
+                                else dataclasses.replace(info, num_classes=num_classes),
+                                program=program, teacher=None)
+    eval_step = make_eval_step(model)
+
+    history = []
+    epochs = max_epochs or cfg.epochs
+    for epoch in range(epochs):
+        t0 = time.time()
+        rho = cfg.rho * (5.0 if (cfg.adjust_rho_late and
+                                 epoch > int(0.85 * cfg.epochs)) else 1.0)
+        if cfg.admm:
+            new_admm, residuals = zu_step(state.params, state.admm)  # engines.py:270-271
+            state = state.replace(admm=new_admm)
+        state, metrics = run_steps(state, rho, steps)
+        train_loss = float(metrics["loss"])
+        if not math.isfinite(train_loss):
+            raise FloatingPointError(f"loss is {train_loss}, stopping")  # engines.py:302-304
+        row = {"epoch": epoch + 1, "train_loss": train_loss,
+               "train_acc": float(metrics["acc"]),
+               "epoch_time_s": time.time() - t0}
+        if (epoch + 1) % cfg.eval_every == 0 or epoch + 1 == epochs:
+            ev = evaluate_model(model, state.variables(), x_va, y_va, info,
+                                eval_step=eval_step)
+            row.update({f"test_{k}": v for k, v in ev.items()})
+        history.append(row)
+        log(json.dumps(row))
+        if cfg.log_path:
+            with open(cfg.log_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+    return state, history
+
+
+def _is_compressed(name: str) -> bool:
+    from ..models.registry import parse_compressed_name
+    return parse_compressed_name(name) is not None

@@ -1,0 +1,96 @@
+"""End-to-end training smoke tests on the synthetic dataset (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_compression_tensor_admm_tpu.train import (
+    TrainConfig, train_model, evaluate_model, eval_runtime)
+from dnn_compression_tensor_admm_tpu.train.losses import (
+    cross_entropy, soft_target_cross_entropy, distillation_loss)
+
+
+def _base_cfg(**kw):
+    d = dict(model="resnet20", dataset="synthetic-cifar10", batch_size=32,
+             epochs=2, steps_per_epoch=6, lr=0.05, smoothing=0.1,
+             compute_dtype=None, eval_every=2, synthetic_size=2048,
+             print_fn=lambda *a: None)
+    d.update(kw)
+    return TrainConfig(**d)
+
+
+class TestLosses:
+    def test_ce_matches_manual(self):
+        logits = jnp.asarray([[2.0, 0.0, -1.0], [0.0, 1.0, 0.0]])
+        y = jnp.asarray([0, 1])
+        got = float(cross_entropy(logits, y))
+        p = jax.nn.log_softmax(logits)
+        want = float(-(p[0, 0] + p[1, 1]) / 2)
+        assert abs(got - want) < 1e-6
+
+    def test_smoothing_increases_loss_on_confident(self):
+        logits = jnp.asarray([[10.0, -10.0]])
+        y = jnp.asarray([0])
+        assert float(cross_entropy(logits, y, 0.1)) > float(cross_entropy(logits, y))
+
+    def test_soft_target_equals_hard_for_onehot(self):
+        logits = jax.random.normal(jax.random.PRNGKey(0), (4, 7))
+        y = jnp.asarray([1, 2, 3, 4])
+        soft = jax.nn.one_hot(y, 7)
+        a = float(cross_entropy(logits, y))
+        b = float(soft_target_cross_entropy(logits, soft))
+        assert abs(a - b) < 1e-5
+
+    def test_distill_soft_zero_when_equal(self):
+        logits = jax.random.normal(jax.random.PRNGKey(1), (4, 7))
+        out = float(distillation_loss(1.0, logits, logits, "soft", 0.5, 2.0))
+        assert abs(out - 0.5) < 1e-5  # base*0.5 + 0*0.5
+
+    def test_distill_hard(self):
+        s = jnp.asarray([[5.0, 0.0]])
+        t = jnp.asarray([[0.0, 5.0]])
+        out = float(distillation_loss(0.0, s, t, "hard", 1.0, 1.0))
+        assert out > 1.0
+
+
+class TestTrainLoop:
+    def test_dense_training_reduces_loss(self):
+        cfg = _base_cfg(epochs=3, steps_per_epoch=10, lr=0.1)
+        state, hist = train_model(cfg)
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+        assert "test_acc1" in hist[-1]
+
+    def test_admm_training_runs_and_tracks_residuals(self):
+        cfg = _base_cfg(model="resnet32", admm=True, fmt="tk", ratio="3",
+                        epochs=2, steps_per_epoch=4, batch_size=32)
+        state, hist = train_model(cfg)
+        assert state.admm is not None
+        assert all(np.isfinite(h["train_loss"]) for h in hist)
+
+    def test_finetune_compressed_model(self):
+        cfg = _base_cfg(model="tkc_resnet32", ratio="3", epochs=2,
+                        steps_per_epoch=4, batch_size=32)
+        state, hist = train_model(cfg)
+        assert np.isfinite(hist[-1]["train_loss"])
+
+    def test_mixup_path(self):
+        cfg = _base_cfg(mixup=0.8, cutmix=1.0, epochs=1, steps_per_epoch=4)
+        state, hist = train_model(cfg)
+        assert np.isfinite(hist[-1]["train_loss"])
+
+    def test_ema_and_eval_runtime(self):
+        cfg = _base_cfg(ema_decay=0.99, epochs=1, steps_per_epoch=2)
+        state, hist = train_model(cfg)
+        assert state.ema_params is not None
+        from dnn_compression_tensor_admm_tpu.models import create_model
+        m = create_model("resnet20")
+        from dnn_compression_tensor_admm_tpu.data.datasets import dataset_info
+        r = eval_runtime(m, state.variables(), dataset_info("cifar10"),
+                         batch_size=16, iters=3, warmup=1)
+        assert r["ms_per_image"] > 0
+
+    def test_stiefel_model_trains(self):
+        cfg = _base_cfg(model="stftkc_resnet32", ratio="3", epochs=1,
+                        steps_per_epoch=3, batch_size=32, opt="momentum")
+        state, hist = train_model(cfg)
+        assert np.isfinite(hist[-1]["train_loss"])
