@@ -178,22 +178,28 @@ def admm_init(params, program: ProjectionProgram) -> AdmmState:
 
 def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
                 update_u: bool = True, method: str = "svd",
-                n_iter: int = 10) -> Tuple[AdmmState, Dict[str, jax.Array]]:
+                n_iter: int = 10, mesh=None) -> Tuple[AdmmState, Dict[str, jax.Array]]:
     """One Z/U step: Z <- proj(W + U); optionally U += W - Z.
 
     Jit this with `program`, `update_u`, `method`, `n_iter` static. Layers
-    inside each bucket are projected as one vmapped batch; XLA runs the
-    buckets' SVD chains concurrently where the chip allows.
+    inside each bucket are projected as one vmapped batch; with a `mesh`,
+    each bucket's layer stack is sharded over the 'layer' axis so the
+    SVD/HOOI work spreads across devices and the projected Z shards are
+    all-gathered back into the (replicated) state — the reference instead
+    runs every layer serially on the host CPU (admm.py:50-67).
 
     Returns (new_state, residual_norms {name: ||W - Z||}) — the metric the
     reference exposes via --verbose/--log (admm.py:75-78).
     """
+    from ..parallel.mesh import constrain_layer_stack
     new_u = dict(state.u)
     new_z = dict(state.z)
     residuals: Dict[str, jax.Array] = {}
     for g in program.groups:
         ws = jnp.stack([_get(params, program.paths[n]) for n in g.names])
         us = jnp.stack([state.u[n] for n in g.names])
+        ws = constrain_layer_stack(ws, mesh)
+        us = constrain_layer_stack(us, mesh)
         proj = lambda w: _project_one(g.kind, g.spec, w, method=method, n_iter=n_iter)
         zs = jax.vmap(proj)(ws + us)
         diffs = ws - zs

@@ -1,0 +1,182 @@
+"""CLI driver: the reference's `python main.py` surface (main.py:30-117,
+parse_args.py:9-178) over the TPU-native engine.
+
+Pipeline modes:
+  (default)          train (dense baseline, or ADMM with --admm)
+  --decompose        factorize a dense checkpoint (--model-path) and fine-tune
+  --pretrained       load an already-factorized checkpoint (--model-path)
+  --eval             evaluation only
+  --runtime          latency benchmark only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native tensor-ADMM compression")
+    p.add_argument("--model", default="resnet32", type=str)
+    p.add_argument("--dataset", default="cifar10", type=str,
+                   help="cifar10|cifar100|mnist|synthetic-<name>")
+    p.add_argument("--data-dir", default=None, type=str)
+    p.add_argument("--num-classes", default=None, type=int)
+    p.add_argument("--batch-size", default=256, type=int)
+    p.add_argument("--epochs", default=200, type=int)
+    p.add_argument("--steps-per-epoch", default=None, type=int)
+    p.add_argument("--synthetic-size", default=None, type=int)
+    # optimizer / schedule (reference defaults, parse_args.py:30-68)
+    p.add_argument("--opt", default="momentum", type=str)
+    p.add_argument("--lr", default=0.1, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument("--sched", default="cosine", type=str)
+    p.add_argument("--warmup-epochs", default=0, type=int)
+    p.add_argument("--min-lr", default=1e-5, type=float)
+    p.add_argument("--decay-epochs", default=30, type=int)
+    p.add_argument("--decay-rate", default=0.1, type=float)
+    p.add_argument("--clip-grad", default=None, type=float)
+    # augmentation
+    p.add_argument("--smoothing", default=0.0, type=float)
+    p.add_argument("--mixup", default=0.0, type=float)
+    p.add_argument("--cutmix", default=0.0, type=float)
+    # ADMM (parse_args.py:146-164)
+    p.add_argument("--admm", action="store_true")
+    p.add_argument("--rho", default=0.001, type=float)
+    p.add_argument("--format", dest="fmt", default="tk",
+                   choices=["none", "tk", "tt", "svd"])
+    p.add_argument("--ratio", default="2", type=str)
+    p.add_argument("--tt-type", default="general", choices=["general", "special"])
+    p.add_argument("--admm-method", default="gram", choices=["gram", "svd"])
+    p.add_argument("--orthogonal", action="store_true")
+    # pipeline modes
+    p.add_argument("--decompose", action="store_true")
+    p.add_argument("--pretrained", action="store_true")
+    p.add_argument("--model-path", default=None, type=str)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--runtime", action="store_true")
+    # distillation
+    p.add_argument("--distillation-type", default="none",
+                   choices=["none", "soft", "hard"])
+    p.add_argument("--distillation-alpha", default=0.5, type=float)
+    p.add_argument("--distillation-tau", default=1.0, type=float)
+    p.add_argument("--teacher-model", default=None, type=str)
+    p.add_argument("--teacher-path", default=None, type=str)
+    # misc
+    p.add_argument("--ema-decay", default=0.0, type=float)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--output-dir", default="saved_models", type=str)
+    p.add_argument("--save-model", action="store_true")
+    p.add_argument("--save-log", action="store_true")
+    p.add_argument("--eval-every", default=1, type=int)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__)))), ".jax_cache"))
+    args = parse_args(argv)
+
+    if os.environ.get("DCTA_PLATFORM"):
+        # The axon TPU plugin ignores JAX_PLATFORMS; this honors an explicit
+        # platform request (e.g. DCTA_PLATFORM=cpu for CI/debug runs).
+        import jax
+        jax.config.update("jax_platforms", os.environ["DCTA_PLATFORM"])
+
+    from ..configs.resolver import get_rank_plan, strip_format_prefix
+    from ..data.datasets import dataset_info, load_dataset
+    from ..models import create_model, decompose_params, compression_ratio
+    from ..models.registry import parse_compressed_name
+    from ..train import TrainConfig, train_model, evaluate_model, eval_runtime
+    from ..utils import save_variables, load_variables
+    import jax
+    import jax.numpy as jnp
+
+    compressed = parse_compressed_name(args.model)
+    if args.admm and compressed is not None:
+        # guard: ADMM trains the *dense* model (reference main.py:31-32)
+        raise SystemExit("ERROR: --admm requires an uncompressed model name")
+
+    cfg = TrainConfig(
+        model=args.model, dataset=args.dataset, data_dir=args.data_dir,
+        num_classes=args.num_classes, batch_size=args.batch_size,
+        epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
+        lr=args.lr, opt=args.opt, sched=args.sched, momentum=args.momentum,
+        weight_decay=args.weight_decay, warmup_epochs=args.warmup_epochs,
+        min_lr=args.min_lr, decay_epochs=args.decay_epochs,
+        decay_rate=args.decay_rate, clip_grad=args.clip_grad,
+        smoothing=args.smoothing, mixup=args.mixup, cutmix=args.cutmix,
+        admm=args.admm, rho=args.rho, fmt=args.fmt, ratio=args.ratio,
+        tt_type=args.tt_type, admm_method=args.admm_method,
+        orthogonal=args.orthogonal,
+        distillation_type=args.distillation_type,
+        distillation_alpha=args.distillation_alpha,
+        distillation_tau=args.distillation_tau,
+        teacher_model=args.teacher_model,
+        ema_decay=args.ema_decay, seed=args.seed,
+        compute_dtype=None if args.fp32 else "bfloat16",
+        synthetic_size=args.synthetic_size, eval_every=args.eval_every,
+    )
+
+    info = dataset_info(args.dataset)
+    num_classes = args.num_classes or info.num_classes
+    dtype = None if args.fp32 else jnp.bfloat16
+
+    init_variables = None
+    if args.decompose:
+        if compressed is None:
+            raise SystemExit("ERROR: --decompose needs a compressed model name")
+        if not args.model_path:
+            raise SystemExit("ERROR: --decompose needs --model-path (dense ckpt)")
+        base, fmt, _ = compressed
+        dense_vars = load_variables(args.model_path)
+        plan = get_rank_plan(args.model, "tk" if fmt == "stftk" else fmt,
+                             args.ratio, args.tt_type)
+        init_variables = decompose_params(dense_vars, plan)
+        print(f"decomposed {args.model_path}: compression "
+              f"{compression_ratio(dense_vars, init_variables):.2f}x")
+    elif args.pretrained:
+        if not args.model_path:
+            raise SystemExit("ERROR: --pretrained needs --model-path")
+        init_variables = load_variables(args.model_path)
+
+    if args.eval or args.runtime:
+        kw = {"ratio": args.ratio, "tt_type": args.tt_type} if compressed else {}
+        model = create_model(args.model, num_classes=num_classes, dtype=dtype, **kw)
+        if init_variables is None:
+            if not args.model_path:
+                raise SystemExit("ERROR: --eval/--runtime need --model-path")
+            init_variables = load_variables(args.model_path)
+        if args.runtime:
+            r = eval_runtime(model, init_variables, info,
+                             batch_size=args.batch_size)
+            print(json.dumps(r))
+        else:
+            x, y, _ = load_dataset(args.dataset, False, args.data_dir,
+                                   synthetic_size=args.synthetic_size)
+            r = evaluate_model(model, init_variables, x, y, info)
+            print(json.dumps(r))
+        return
+
+    ts = time.strftime("%m%d-%H%M%S")
+    tag = f"{args.model}_{args.dataset}" + ("_admm_" + args.fmt if args.admm else "")
+    if args.save_log:
+        os.makedirs(args.output_dir, exist_ok=True)
+        cfg.log_path = os.path.join(args.output_dir, f"{tag}_{ts}.log")
+    state, history = train_model(cfg, init_variables=init_variables)
+    if args.save_model:
+        os.makedirs(args.output_dir, exist_ok=True)
+        path = os.path.join(args.output_dir, f"{tag}_{ts}_model.msgpack")
+        save_variables(path, state.variables())
+        print(f"saved model to {path}")
+    return state, history
+
+
+if __name__ == "__main__":
+    main()

@@ -90,8 +90,14 @@ def _criterion(cfg: TrainConfig):
 
 
 def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
-                    program=None, teacher=None, teacher_vars=None):
-    """Build the jitted (scanned) X-step for one epoch segment."""
+                    program=None, teacher=None, teacher_vars=None, mesh=None):
+    """Build the jitted (scanned) X-step for one epoch segment.
+
+    With a `mesh`, the in-jit sampled batch is sharded over the 'data'
+    axis; XLA inserts the gradient reduction over ICI (the reference's
+    DDP all-reduce, engines.py:154, with no user-level collective code).
+    """
+    from ..parallel.mesh import constrain_batch
     mix_active = cfg.mixup > 0 or cfg.cutmix > 0
     criterion = _criterion(cfg)
     has_bn = True
@@ -99,6 +105,8 @@ def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
     def one_step(state: TrainState, rho):
         rng, k_batch, k_aug, k_mix, k_drop = jax.random.split(state.rng, 5)
         xb, yb = sample_batch(images, labels, k_batch, cfg.batch_size)
+        xb = constrain_batch(xb, mesh)
+        yb = constrain_batch(yb, mesh)
         x = augment_batch(xb, k_aug, mean=info.mean, std=info.std)
         if mix_active:
             x, y_t = mixup_cutmix(x, yb, k_mix, num_classes=info.num_classes,
@@ -199,7 +207,8 @@ def eval_runtime(model, variables, info, batch_size=256, iters=50, warmup=5):
             "images_per_s": iters * batch_size / dt}
 
 
-def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None):
+def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
+                mesh=None):
     """Full training pipeline (reference train(), engines.py:110-368).
 
     Returns (state, history). `init_variables` (e.g. from
@@ -241,9 +250,11 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None):
         program = build_program(state.params, plan)
         state = state.replace(admm=admm_init(state.params, program))
         z_step = jax.jit(partial(admm_update, program=program, update_u=False,
-                                 method=cfg.admm_method, n_iter=cfg.admm_hooi_iters))
+                                 method=cfg.admm_method, n_iter=cfg.admm_hooi_iters,
+                                 mesh=mesh))
         zu_step = jax.jit(partial(admm_update, program=program, update_u=True,
-                                  method=cfg.admm_method, n_iter=cfg.admm_hooi_iters))
+                                  method=cfg.admm_method, n_iter=cfg.admm_hooi_iters,
+                                  mesh=mesh))
         new_admm, _ = z_step(state.params, state.admm)  # engines.py:245
         state = state.replace(admm=new_admm)
 
@@ -252,7 +263,7 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None):
     run_steps = make_train_step(model, cfg, tx, images, labels,
                                 dataclasses.replace(info) if num_classes == info.num_classes
                                 else dataclasses.replace(info, num_classes=num_classes),
-                                program=program, teacher=None)
+                                program=program, teacher=None, mesh=mesh)
     eval_step = make_eval_step(model)
 
     history = []

@@ -1,0 +1,2 @@
+from .checkpoint import save_variables, load_variables, save_train_state, load_train_state
+from .flops import model_flops_params
