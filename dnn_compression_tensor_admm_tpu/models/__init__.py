@@ -12,4 +12,6 @@ Model names follow the reference grammar `{tt|tk|svd|stftk}{r|m|c}_<base>`
 
 from .registry import create_model, register_model, list_models
 from . import resnet_cifar  # noqa: F401  (registers builders)
+from . import resnet_inet  # noqa: F401
+from . import vit  # noqa: F401
 from .decompose import decompose_params, count_params, compression_ratio
