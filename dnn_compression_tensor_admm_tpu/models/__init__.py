@@ -14,4 +14,8 @@ from .registry import create_model, register_model, list_models
 from . import resnet_cifar  # noqa: F401  (registers builders)
 from . import resnet_inet  # noqa: F401
 from . import vit  # noqa: F401
+from . import mobilenetv2  # noqa: F401
+from . import mobilenetv2_cifar  # noqa: F401
+from . import densenet  # noqa: F401
+from . import vgg  # noqa: F401
 from .decompose import decompose_params, count_params, compression_ratio

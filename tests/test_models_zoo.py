@@ -1,0 +1,104 @@
+"""MobileNetV2 / DenseNet / VGG zoo tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_compression_tensor_admm_tpu.admm import admm_init, admm_update, build_program
+from dnn_compression_tensor_admm_tpu.configs.resolver import get_rank_plan
+from dnn_compression_tensor_admm_tpu.layers.common import canonical_param_name
+from dnn_compression_tensor_admm_tpu.models import create_model, compression_ratio
+
+
+def _names(params):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return {canonical_param_name(tuple(k.key for k in kp)) for kp, _ in flat}
+
+
+def _init(model, shape, key=0):
+    x = jnp.ones(shape)
+    return model.init(jax.random.PRNGKey(key), x, train=False), x
+
+
+class TestMobileNetV2:
+    def test_inet_plan_coverage_all_formats(self):
+        m = create_model("mobilenetv2", num_classes=10)
+        v, x = _init(m, (1, 96, 96, 3))
+        names = _names(v["params"])
+        for fmt in ("tk", "tt", "svd"):
+            plan = get_rank_plan("mobilenetv2", fmt, "2")
+            missing = [k for k in plan.names() if k not in names]
+            assert not missing, (fmt, missing[:5])
+        y = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
+        assert y.shape == (1, 10)
+
+    def test_svdc_mobilenetv2_forward(self):
+        m = create_model("svdc_mobilenetv2", ratio="2", num_classes=10)
+        v, x = _init(m, (1, 96, 96, 3))
+        y = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
+        assert y.shape == (1, 10)
+
+    def test_cifar_variant_and_plan(self):
+        m = create_model("mobilenetv2_cifar", num_classes=10)
+        v, x = _init(m, (1, 32, 32, 3))
+        names = _names(v["params"])
+        plan = get_rank_plan("mobilenetv2_cifar", "tk", "2")
+        missing = [k for k in plan.names() if k not in names]
+        assert not missing, missing[:5]
+        mc = create_model("tkc_mobilenetv2_cifar", ratio="2", num_classes=10)
+        vc, _ = _init(mc, (1, 32, 32, 3))
+        assert compression_ratio(v, vc) > 1.3
+
+
+class TestDenseNet:
+    def test_densenet40_plan_coverage(self):
+        m = create_model("densenet40", num_classes=10)
+        v, x = _init(m, (1, 32, 32, 3))
+        names = _names(v["params"])
+        plan = get_rank_plan("densenet40", "tk", "2")
+        missing = [k for k in plan.names() if k not in names]
+        assert not missing, missing[:5]
+        y = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
+        assert y.shape == (1, 10)
+
+    def test_tkr_densenet40_runs(self):
+        m = create_model("tkr_densenet40", ratio="2", num_classes=10)
+        v, x = _init(m, (1, 32, 32, 3))
+        y = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
+        assert y.shape == (1, 10)
+
+    def test_densenet121_plan_coverage(self):
+        m = create_model("densenet121", num_classes=10)
+        v, x = _init(m, (1, 64, 64, 3))
+        names = _names(v["params"])
+        plan = get_rank_plan("densenet121", "tk", "2")
+        missing = [k for k in plan.names() if k not in names]
+        assert not missing, missing[:5]
+
+
+class TestVGG:
+    def test_vgg16_plan_coverage_and_forward(self):
+        m = create_model("vgg16", num_classes=10)
+        v, x = _init(m, (1, 64, 64, 3))
+        names = _names(v["params"])
+        for base in ("vgg16",):
+            plan = get_rank_plan(base, "tk", "2")
+            missing = [k for k in plan.names() if k not in names]
+            assert not missing, missing[:5]
+        y = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
+        assert y.shape == (1, 10)
+
+    def test_vgg16_bn_plan_coverage(self):
+        m = create_model("vgg16_bn", num_classes=10)
+        v, x = _init(m, (1, 64, 64, 3))
+        names = _names(v["params"])
+        plan = get_rank_plan("vgg16_bn", "tk", "2")
+        missing = [k for k in plan.names() if k not in names]
+        assert not missing, missing[:5]
+
+    def test_tkc_vgg16_admm_program(self):
+        m = create_model("vgg16", num_classes=10)
+        v, x = _init(m, (1, 64, 64, 3))
+        plan = get_rank_plan("vgg16", "tk", "2")
+        prog = build_program(v["params"], plan)
+        assert sum(len(g.names) for g in prog.groups) == 13
