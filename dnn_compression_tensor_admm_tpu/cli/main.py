@@ -74,6 +74,10 @@ def parse_args(argv=None):
     p.add_argument("--save-model", action="store_true")
     p.add_argument("--save-log", action="store_true")
     p.add_argument("--eval-every", default=1, type=int)
+    p.add_argument("--resume", default=None, type=str,
+                   help="checkpoint dir to resume full training state from")
+    p.add_argument("--checkpoint-dir", default=None, type=str,
+                   help="save full training state (incl. ADMM duals) per epoch")
     return p.parse_args(argv)
 
 
@@ -119,7 +123,10 @@ def main(argv=None):
         distillation_alpha=args.distillation_alpha,
         distillation_tau=args.distillation_tau,
         teacher_model=args.teacher_model,
+        teacher_variables=(load_variables(args.teacher_path)
+                           if args.teacher_path else None),
         ema_decay=args.ema_decay, seed=args.seed,
+        resume=args.resume, checkpoint_dir=args.checkpoint_dir,
         compute_dtype=None if args.fp32 else "bfloat16",
         synthetic_size=args.synthetic_size, eval_every=args.eval_every,
     )

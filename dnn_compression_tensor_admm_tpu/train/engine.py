@@ -36,6 +36,8 @@ from .state import TrainState, create_train_state
 
 @dataclasses.dataclass
 class TrainConfig:
+    resume: Optional[str] = None        # checkpoint dir to resume from
+    checkpoint_dir: Optional[str] = None  # save full TrainState per epoch
     model: str = "resnet32"
     dataset: str = "cifar10"
     data_dir: Optional[str] = None
@@ -125,7 +127,8 @@ def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
             logits, mut = out if isinstance(out, tuple) else (out, {})
             loss = criterion(logits, y_t)
             if teacher is not None:
-                t_logits = teacher.apply(teacher_vars, x, train=False)
+                t_logits = jax.lax.stop_gradient(
+                    teacher.apply(teacher_vars, x, train=False))
                 loss = distillation_loss(loss, logits, t_logits,
                                          cfg.distillation_type,
                                          cfg.distillation_alpha,
@@ -258,17 +261,41 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         new_admm, _ = z_step(state.params, state.admm)  # engines.py:245
         state = state.replace(admm=new_admm)
 
+    teacher = None
+    teacher_vars = None
+    if cfg.distillation_type != "none":
+        # reference builds the teacher via timm create_model and runs it
+        # frozen inside the step (engines.py:191-214)
+        if cfg.teacher_model is None:
+            raise ValueError("distillation requires teacher_model")
+        teacher = create_model(cfg.teacher_model, num_classes=num_classes,
+                               dtype=dtype)
+        if cfg.teacher_variables is not None:
+            teacher_vars = cfg.teacher_variables
+        else:
+            teacher_vars = teacher.init(jax.random.PRNGKey(cfg.seed + 1), sample,
+                                        train=False)
+
     images = jnp.asarray(x_tr)
     labels = jnp.asarray(y_tr)
     run_steps = make_train_step(model, cfg, tx, images, labels,
                                 dataclasses.replace(info) if num_classes == info.num_classes
                                 else dataclasses.replace(info, num_classes=num_classes),
-                                program=program, teacher=None, mesh=mesh)
+                                program=program, teacher=teacher,
+                                teacher_vars=teacher_vars, mesh=mesh)
     eval_step = make_eval_step(model)
+
+    start_epoch = 0
+    if cfg.resume:
+        from ..utils.checkpoint import load_train_state
+        state, extra = load_train_state(cfg.resume, state,
+                                        extra_template={"epoch": 0})
+        start_epoch = int(extra["epoch"]) + 1 if extra else 0
+        log(f"resumed from {cfg.resume} at epoch {start_epoch}")
 
     history = []
     epochs = max_epochs or cfg.epochs
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         rho = cfg.rho * (5.0 if (cfg.adjust_rho_late and
                                  epoch > int(0.85 * cfg.epochs)) else 1.0)
@@ -288,6 +315,9 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
             row.update({f"test_{k}": v for k, v in ev.items()})
         history.append(row)
         log(json.dumps(row))
+        if cfg.checkpoint_dir:
+            from ..utils.checkpoint import save_train_state
+            save_train_state(cfg.checkpoint_dir, state, {"epoch": epoch})
         if cfg.log_path:
             with open(cfg.log_path, "a") as f:
                 f.write(json.dumps(row) + "\n")

@@ -94,3 +94,24 @@ class TestTrainLoop:
                         steps_per_epoch=3, batch_size=32, opt="momentum")
         state, hist = train_model(cfg)
         assert np.isfinite(hist[-1]["train_loss"])
+
+
+class TestDistillAndResume:
+    def test_hard_distillation_from_teacher(self):
+        cfg = _base_cfg(model="tkc_resnet32", ratio="3", epochs=1,
+                        steps_per_epoch=3, distillation_type="hard",
+                        teacher_model="resnet20")
+        state, hist = train_model(cfg)
+        assert np.isfinite(hist[-1]["train_loss"])
+
+    def test_checkpoint_resume_preserves_admm(self, tmp_path):
+        ck = str(tmp_path / "ck")
+        cfg = _base_cfg(model="resnet32", admm=True, fmt="tk", ratio="3",
+                        epochs=3, steps_per_epoch=2, checkpoint_dir=ck)
+        state, hist = train_model(cfg, max_epochs=2)
+        cfg2 = _base_cfg(model="resnet32", admm=True, fmt="tk", ratio="3",
+                         epochs=3, steps_per_epoch=2, resume=ck)
+        state2, hist2 = train_model(cfg2)
+        assert hist2[0]["epoch"] == 3
+        u = np.asarray(state2.admm.u["layer1.0.conv1.weight"])
+        assert not np.allclose(u, 0)  # duals survived (reference drops them)
