@@ -49,6 +49,22 @@ def sample_batch(ds_images, ds_labels, key, batch_size: int):
     return jnp.take(ds_images, idx, axis=0), jnp.take(ds_labels, idx, axis=0)
 
 
+def sample_batch_repeated(ds_images, ds_labels, key, batch_size: int,
+                          repeats: int = 3):
+    """Repeated-augmentation sampling (the reference's RASampler,
+    samplers.py:8-59): each drawn index occupies `repeats` slots of the
+    batch; since augmentation randomness is per-slot, the batch contains
+    `repeats` differently-augmented views of each image."""
+    n = ds_images.shape[0]
+    base = jax.random.randint(key, (pl_cdiv(batch_size, repeats),), 0, n)
+    idx = jnp.repeat(base, repeats)[:batch_size]
+    return jnp.take(ds_images, idx, axis=0), jnp.take(ds_labels, idx, axis=0)
+
+
+def pl_cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def normalize(x_u8, mean, std, dtype=jnp.float32):
     m = jnp.asarray(mean, dtype=dtype) * 255.0
     s = jnp.asarray(std, dtype=dtype) * 255.0

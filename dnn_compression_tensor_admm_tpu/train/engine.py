@@ -27,7 +27,8 @@ from ..admm.regularizers import orthogonal_penalty
 from ..configs.resolver import get_rank_plan
 from ..data.augment import mixup_cutmix
 from ..data.datasets import load_dataset
-from ..data.device_pipeline import augment_batch, eval_batches, sample_batch
+from ..data.device_pipeline import (augment_batch, eval_batches, sample_batch,
+                                    sample_batch_repeated)
 from ..models import create_model
 from .losses import cross_entropy, distillation_loss, soft_target_cross_entropy
 from .optim import make_optimizer, make_schedule
@@ -58,6 +59,7 @@ class TrainConfig:
     smoothing: float = 0.0
     mixup: float = 0.0
     cutmix: float = 0.0
+    repeated_aug: int = 0   # RASampler equivalent: views per image (0=off)
     # ADMM
     admm: bool = False
     rho: float = 0.001
@@ -106,7 +108,11 @@ def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
 
     def one_step(state: TrainState, rho):
         rng, k_batch, k_aug, k_mix, k_drop = jax.random.split(state.rng, 5)
-        xb, yb = sample_batch(images, labels, k_batch, cfg.batch_size)
+        if cfg.repeated_aug > 1:
+            xb, yb = sample_batch_repeated(images, labels, k_batch,
+                                           cfg.batch_size, cfg.repeated_aug)
+        else:
+            xb, yb = sample_batch(images, labels, k_batch, cfg.batch_size)
         xb = constrain_batch(xb, mesh)
         yb = constrain_batch(yb, mesh)
         x = augment_batch(xb, k_aug, mean=info.mean, std=info.std)

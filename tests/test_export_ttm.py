@@ -1,0 +1,62 @@
+"""Export (StableHLO artifact) + TTM-format layers + RA sampling tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_compression_tensor_admm_tpu.models import create_model
+from dnn_compression_tensor_admm_tpu.nlp.ttm_layers import TTMLinear, TTMEmbedding
+from dnn_compression_tensor_admm_tpu.utils.export import export_model, load_exported
+from dnn_compression_tensor_admm_tpu.data.device_pipeline import sample_batch_repeated
+
+
+class TestExport:
+    def test_roundtrip_matches_model(self, tmp_path):
+        m = create_model("tkc_resnet32", ratio="3", num_classes=10)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        v = m.init(jax.random.PRNGKey(1), x, train=False)
+        path = str(tmp_path / "model.stablehlo")
+        export_model(m, v, (2, 32, 32, 3), path)
+        loaded = load_exported(path)
+        y_direct = m.apply(v, x, train=False)
+        y_loaded = loaded.call(x)
+        np.testing.assert_allclose(np.asarray(y_loaded), np.asarray(y_direct),
+                                   atol=1e-5)
+
+
+class TestTTM:
+    def test_ttm_linear_weight_consistency(self):
+        m = TTMLinear(input_tt_shape=(8, 6), output_tt_shape=(4, 8),
+                      tt_ranks=(1, 5, 1))
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 48))
+        v = m.init(jax.random.PRNGKey(1), x)
+        y = jax.jit(m.apply)(v, x)
+        assert y.shape == (3, 32)
+        # forward equals x @ W for the reconstructed W
+        w = m.bind(v)._weight()
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x @ w + v["params"]["bias"]), atol=1e-5)
+
+    def test_ttm_embedding_matches_materialized(self):
+        m = TTMEmbedding(input_tt_shape=(5, 4, 6), output_tt_shape=(2, 2, 4),
+                         tt_ranks=(1, 6, 6, 1))
+        ids = jnp.arange(120)
+        v = m.init(jax.random.PRNGKey(0), ids)
+        y = jax.jit(m.apply)(v, ids)
+        assert y.shape == (120, 16)
+        # materialize the table through the TTMLinear weight construction
+        lin = TTMLinear(input_tt_shape=(5, 4, 6), output_tt_shape=(2, 2, 4),
+                        tt_ranks=(1, 6, 6, 1), use_bias=False)
+        w = lin.bind({"params": {k: v["params"][k] for k in v["params"]}})._weight()
+        np.testing.assert_allclose(np.asarray(y), np.asarray(w), atol=1e-4)
+
+
+class TestRASampling:
+    def test_repeats_present(self):
+        imgs = jnp.arange(100)[:, None, None, None] * jnp.ones((1, 2, 2, 1))
+        labels = jnp.arange(100)
+        xb, yb = sample_batch_repeated(imgs, labels, jax.random.PRNGKey(0),
+                                       batch_size=12, repeats=3)
+        assert xb.shape[0] == 12
+        vals, counts = np.unique(np.asarray(yb), return_counts=True)
+        assert counts.max() >= 3  # each drawn index repeated
