@@ -1,0 +1,83 @@
+"""Tokenizer, GLUE processors, and two-stage distillation harness tests."""
+
+import numpy as np
+
+from dnn_compression_tensor_admm_tpu.nlp.bert import BertConfig, BertCompressionPlan
+from dnn_compression_tensor_admm_tpu.nlp.glue import (
+    PROCESSORS, glue_metric, synthetic_examples, convert_examples)
+from dnn_compression_tensor_admm_tpu.nlp.task_distill import (
+    DistillConfig, run_task_distillation, prepare_task_data)
+from dnn_compression_tensor_admm_tpu.nlp.tokenization import (
+    WordPieceTokenizer, build_vocab_from_texts)
+
+
+class TestTokenizer:
+    def test_wordpiece_greedy_longest_match(self):
+        vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+                 "un": 4, "##able": 5, "##a": 6, "##ble": 7, "play": 8,
+                 "##ing": 9}
+        tok = WordPieceTokenizer(vocab)
+        assert tok.tokenize("unable") == ["un", "##able"]
+        assert tok.tokenize("playing") == ["play", "##ing"]
+        assert tok.tokenize("xyz") == ["[UNK]"]
+
+    def test_encode_pair_layout(self):
+        vocab = build_vocab_from_texts(["hello world", "foo bar"])
+        tok = WordPieceTokenizer(vocab)
+        ids, mask, types = tok.encode_pair("hello world", "foo bar", 16)
+        assert len(ids) == len(mask) == len(types) == 16
+        assert ids[0] == vocab["[CLS]"]
+        assert sum(mask) == 7  # cls + 2 + sep + 2 + sep
+        assert types[:4] == [0, 0, 0, 0] and types[4] == 1
+
+    def test_punctuation_split(self):
+        vocab = build_vocab_from_texts(["a b"])
+        tok = WordPieceTokenizer(vocab)
+        assert len(tok.tokenize("a,b")) == 3
+
+
+class TestGlue:
+    def test_synthetic_examples_all_tasks(self):
+        for task in PROCESSORS:
+            ex = synthetic_examples(task, 8)
+            assert len(ex) == 8
+            assert all(e.label in PROCESSORS[task].labels for e in ex)
+            if PROCESSORS[task].pair:
+                assert ex[0].text_b is not None
+
+    def test_metrics(self):
+        preds = np.asarray([1, 1, 0, 0])
+        labels = np.asarray([1, 0, 0, 0])
+        m = glue_metric("mrpc", preds, labels)
+        assert abs(m["f1"] - 2 * 0.5 * 1.0 / 1.5) < 1e-6
+        m = glue_metric("cola", preds, labels)
+        assert "mcc" in m
+
+    def test_convert_examples_shapes(self):
+        cfg = DistillConfig(task="mrpc", n_synthetic=16, max_seq_length=32)
+        train, dev, tok, proc = prepare_task_data(cfg)
+        assert train["input_ids"].shape == (16, 32)
+        assert train["labels"].max() < len(proc.labels)
+
+
+class TestTwoStageDistill:
+    def test_pipeline_runs_and_learns(self):
+        cfg = DistillConfig(
+            task="sst-2", n_synthetic=256, max_seq_length=24, batch_size=16,
+            stage1_epochs=4, stage2_epochs=6, lr_stage1=1e-3, lr_stage2=3e-3,
+            teacher_epochs=8, teacher_lr=2e-3,
+            # dropout 0: at toy width-32 scale dropout 0.1 stalls learning
+            bert=BertConfig(vocab_size=0, hidden_size=32, num_layers=2,
+                            num_heads=2, intermediate_size=64,
+                            max_position=24, dropout=0.0, attn_dropout=0.0),
+            plan=BertCompressionPlan(linear_format="tt", linear_ratio=2.0,
+                                     embedding_format="svd",
+                                     embedding_ratio=3.0),
+            print_fn=lambda *a: None)
+        variables, hist = run_task_distillation(cfg)
+        stages = [h["stage"] for h in hist]
+        assert stages.count(1) == 4 and stages.count(2) == 6
+        assert np.isfinite(hist[0]["loss"])
+        # the synthetic rule is keyword-based: distilled student should
+        # beat chance on dev
+        assert hist[-1]["acc"] > 0.9, hist[-1]
