@@ -81,6 +81,8 @@ class TrainConfig:
     seed: int = 0
     compute_dtype: Optional[str] = "bfloat16"
     synthetic_size: Optional[int] = None  # cap synthetic dataset size (tests)
+    shard_dir: Optional[str] = None   # DCTA record shards -> streaming input
+    loader_workers: int = 4
     log_path: Optional[str] = None
     eval_every: int = 1
     print_fn: Callable = print
@@ -169,6 +171,66 @@ def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
     return run_steps
 
 
+def make_streaming_step(model, cfg: TrainConfig, tx, info, program=None,
+                        teacher=None, teacher_vars=None, mesh=None):
+    """Per-batch jitted step fed by the native C++ shard loader
+    (ImageNet-scale path; the CIFAR-scale path keeps the in-HBM scan)."""
+    from ..parallel.mesh import constrain_batch
+    criterion = _criterion(cfg)
+    mix_active = cfg.mixup > 0 or cfg.cutmix > 0
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, rho, xb_u8, yb):
+        rng, k_aug, k_mix, k_drop = jax.random.split(state.rng, 4)
+        xb_u8 = constrain_batch(xb_u8, mesh)
+        yb = constrain_batch(yb, mesh)
+        x = augment_batch(xb_u8, k_aug, mean=info.mean, std=info.std)
+        if mix_active:
+            x, y_t = mixup_cutmix(x, yb, k_mix, num_classes=info.num_classes,
+                                  mixup_alpha=cfg.mixup, cutmix_alpha=cfg.cutmix,
+                                  smoothing=cfg.smoothing)
+        else:
+            y_t = yb
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(variables, x, train=True,
+                              mutable=["batch_stats"] if state.batch_stats is not None else [],
+                              rngs={"dropout": k_drop})
+            logits, mut = out if isinstance(out, tuple) else (out, {})
+            loss = criterion(logits, y_t)
+            if teacher is not None:
+                t_logits = jax.lax.stop_gradient(
+                    teacher.apply(teacher_vars, x, train=False))
+                loss = distillation_loss(loss, logits, t_logits,
+                                         cfg.distillation_type,
+                                         cfg.distillation_alpha,
+                                         cfg.distillation_tau)
+            if program is not None:
+                loss = loss + admm_penalty(params, state.admm, program, rho)
+            if cfg.orthogonal:
+                loss = loss + orthogonal_penalty(params, rho)
+            return loss, (mut.get("batch_stats"), logits)
+
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = cfg.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema, new_params)
+        acc = jnp.mean((jnp.argmax(logits, -1) == yb).astype(jnp.float32))
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs if new_bs is not None else state.batch_stats,
+                                  opt_state=new_opt, ema_params=ema, rng=rng)
+        return new_state, {"loss": loss, "acc": acc}
+
+    return step
+
+
 def make_eval_step(model):
     @jax.jit
     def eval_step(variables, x, y, valid):
@@ -224,11 +286,25 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
     `decompose_params`) overrides random init for the fine-tune phase.
     """
     log = cfg.print_fn
-    x_tr, y_tr, info = load_dataset(cfg.dataset, True, cfg.data_dir,
-                                    synthetic_size=cfg.synthetic_size)
-    x_va, y_va, _ = load_dataset(cfg.dataset, False, cfg.data_dir,
-                                 synthetic_size=(cfg.synthetic_size // 4
-                                                 if cfg.synthetic_size else None))
+    streaming = cfg.shard_dir is not None
+    if streaming:
+        import glob as _glob
+        from ..data.datasets import dataset_info as _di
+        from ..data.native_loader import NativeLoader
+        from ..data.records import read_shard
+        info = _di(cfg.dataset)
+        train_paths = sorted(_glob.glob(os.path.join(cfg.shard_dir, "train-*.dcta")))
+        val_paths = sorted(_glob.glob(os.path.join(cfg.shard_dir, "val-*.dcta")))
+        if not train_paths:
+            raise FileNotFoundError(f"no train-*.dcta shards in {cfg.shard_dir}")
+        x_va, y_va = (np.concatenate(a) for a in zip(*(read_shard(p) for p in val_paths))) \
+            if val_paths else (None, None)
+    else:
+        x_tr, y_tr, info = load_dataset(cfg.dataset, True, cfg.data_dir,
+                                        synthetic_size=cfg.synthetic_size)
+        x_va, y_va, _ = load_dataset(cfg.dataset, False, cfg.data_dir,
+                                     synthetic_size=(cfg.synthetic_size // 4
+                                                     if cfg.synthetic_size else None))
     num_classes = cfg.num_classes or info.num_classes
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
@@ -236,7 +312,13 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                          **({"ratio": cfg.ratio, "tt_type": cfg.tt_type}
                             if _is_compressed(cfg.model) else {}))
 
-    steps = cfg.steps_per_epoch or max(1, len(x_tr) // cfg.batch_size)
+    if streaming:
+        loader = NativeLoader(train_paths, cfg.batch_size,
+                              workers=cfg.loader_workers, seed=cfg.seed,
+                              drop_last=True, loop=True)
+        steps = cfg.steps_per_epoch or max(1, loader.total // cfg.batch_size)
+    else:
+        steps = cfg.steps_per_epoch or max(1, len(x_tr) // cfg.batch_size)
     sched = make_schedule(cfg.sched, cfg.lr, cfg.epochs, steps,
                           cfg.warmup_epochs, cfg.min_lr, cfg.decay_epochs,
                           cfg.decay_rate)
@@ -282,13 +364,20 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
             teacher_vars = teacher.init(jax.random.PRNGKey(cfg.seed + 1), sample,
                                         train=False)
 
-    images = jnp.asarray(x_tr)
-    labels = jnp.asarray(y_tr)
-    run_steps = make_train_step(model, cfg, tx, images, labels,
-                                dataclasses.replace(info) if num_classes == info.num_classes
-                                else dataclasses.replace(info, num_classes=num_classes),
-                                program=program, teacher=teacher,
-                                teacher_vars=teacher_vars, mesh=mesh)
+    info_nc = (dataclasses.replace(info) if num_classes == info.num_classes
+               else dataclasses.replace(info, num_classes=num_classes))
+    if streaming:
+        stream_step = make_streaming_step(model, cfg, tx, info_nc,
+                                          program=program, teacher=teacher,
+                                          teacher_vars=teacher_vars, mesh=mesh)
+        stream_iter = iter(loader)
+        run_steps = None
+    else:
+        images = jnp.asarray(x_tr)
+        labels = jnp.asarray(y_tr)
+        run_steps = make_train_step(model, cfg, tx, images, labels, info_nc,
+                                    program=program, teacher=teacher,
+                                    teacher_vars=teacher_vars, mesh=mesh)
     eval_step = make_eval_step(model)
 
     start_epoch = 0
@@ -308,14 +397,25 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         if cfg.admm:
             new_admm, residuals = zu_step(state.params, state.admm)  # engines.py:270-271
             state = state.replace(admm=new_admm)
-        state, metrics = run_steps(state, rho, steps)
+        if streaming:
+            accs, losses = [], []
+            for _ in range(steps):
+                xb, yb, nvalid = next(stream_iter)
+                state, metrics = stream_step(state, rho, jnp.asarray(xb),
+                                             jnp.asarray(yb))
+                losses.append(metrics["loss"]); accs.append(metrics["acc"])
+            metrics = {"loss": jnp.mean(jnp.stack(losses)),
+                       "acc": jnp.mean(jnp.stack(accs))}
+        else:
+            state, metrics = run_steps(state, rho, steps)
         train_loss = float(metrics["loss"])
         if not math.isfinite(train_loss):
             raise FloatingPointError(f"loss is {train_loss}, stopping")  # engines.py:302-304
         row = {"epoch": epoch + 1, "train_loss": train_loss,
                "train_acc": float(metrics["acc"]),
                "epoch_time_s": time.time() - t0}
-        if (epoch + 1) % cfg.eval_every == 0 or epoch + 1 == epochs:
+        if ((epoch + 1) % cfg.eval_every == 0 or epoch + 1 == epochs) \
+                and x_va is not None:
             ev = evaluate_model(model, state.variables(), x_va, y_va, info,
                                 eval_step=eval_step)
             row.update({f"test_{k}": v for k, v in ev.items()})

@@ -115,3 +115,21 @@ class TestDistillAndResume:
         assert hist2[0]["epoch"] == 3
         u = np.asarray(state2.admm.u["layer1.0.conv1.weight"])
         assert not np.allclose(u, 0)  # duals survived (reference drops them)
+
+
+class TestStreaming:
+    def test_streaming_training_from_shards(self, tmp_path):
+        import numpy as np
+        from dnn_compression_tensor_admm_tpu.data.records import write_shards
+        from dnn_compression_tensor_admm_tpu.data.datasets import load_dataset
+        x, y, info = load_dataset("synthetic-cifar10", True, None,
+                                  synthetic_size=512)
+        xv, yv, _ = load_dataset("synthetic-cifar10", False, None,
+                                 synthetic_size=128)
+        write_shards(x, y, str(tmp_path), samples_per_shard=256, prefix="train")
+        write_shards(xv, yv, str(tmp_path), samples_per_shard=256, prefix="val")
+        cfg = _base_cfg(model="resnet20", epochs=2, steps_per_epoch=4,
+                        shard_dir=str(tmp_path))
+        state, hist = train_model(cfg)
+        assert np.isfinite(hist[-1]["train_loss"])
+        assert "test_acc1" in hist[-1]
