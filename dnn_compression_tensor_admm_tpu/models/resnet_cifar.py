@@ -47,10 +47,12 @@ class BasicBlock(nn.Module):
                           key=f"{self.prefix}.conv2.weight", name="conv2",
                           dtype=self.dtype)
         y = conv1(x)
+        self.sow("intermediates", f"{self.prefix}.conv1", y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = conv2(y)
+        self.sow("intermediates", f"{self.prefix}.conv2", y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         if self.stride != 1 or self.in_planes != self.planes:
