@@ -73,24 +73,27 @@ def normalize(x_u8, mean, std, dtype=jnp.float32):
 
 def augment_batch(x_u8, key, *, pad: int = 4, flip: bool = True,
                   mean=(0.5,), std=(0.5,), dtype=jnp.float32):
-    """Standard CIFAR recipe: reflect-free zero-pad `pad`, random crop back
-    to size, random horizontal flip, then normalize. All vmapped/jit-safe.
-    (Reference transform stack: datasets.py:142-239, RandomCrop(32, 4) +
-    RandomHorizontalFlip + Normalize.)"""
+    """Standard CIFAR recipe: zero-pad `pad` on the raw uint8 image,
+    random crop back to size, random horizontal flip, then normalize
+    (torchvision order: RandomCrop(32, 4) + RandomHorizontalFlip +
+    ToTensor + Normalize; reference datasets.py:142-239).
+
+    The crop is two *vectorized* gathers (`take_along_axis` over rows then
+    columns) rather than a vmapped per-sample `dynamic_slice` — on TPU the
+    latter lowers to B serialized slices and costs more than the model's
+    entire forward+backward at CIFAR scale."""
     b, h, w, c = x_u8.shape
     k_crop, k_flip = jax.random.split(key)
-    x = normalize(x_u8, mean, std, dtype)
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    xp = jnp.pad(x_u8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     offs = jax.random.randint(k_crop, (b, 2), 0, 2 * pad + 1)
-
-    def crop_one(img, off):
-        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, c))
-
-    x = jax.vmap(crop_one)(xp, offs)
+    rows = offs[:, 0:1] + jnp.arange(h)[None, :]          # [B, h]
+    cols = offs[:, 1:2] + jnp.arange(w)[None, :]          # [B, w]
+    x = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)
+    x = jnp.take_along_axis(x, cols[:, None, :, None], axis=2)
     if flip:
         do = jax.random.bernoulli(k_flip, 0.5, (b,))
         x = jnp.where(do[:, None, None, None], x[:, :, ::-1, :], x)
-    return x
+    return normalize(x, mean, std, dtype)
 
 
 def eval_batches(x: np.ndarray, y: np.ndarray, batch_size: int):
