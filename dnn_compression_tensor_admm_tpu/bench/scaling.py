@@ -1,0 +1,66 @@
+"""Scaling harness: ADMM step efficiency at 1..N devices.
+
+The north star (BASELINE.json) measures ADMM iterations/s at 1 chip /
+1 host / N hosts with >=80% scaling efficiency. Only one physical chip
+is available in this environment, so this harness runs the *same sharded
+programs* over a virtual CPU device mesh
+(--xla_force_host_platform_device_count) to validate that the
+data-parallel X-step and layer-sharded Z-step compile, execute, and
+divide work as the mesh grows; wall-clock speedups on the virtual mesh
+are indicative only (CPU cores back the virtual devices).
+
+Run: python -m dnn_compression_tensor_admm_tpu.bench.scaling [N ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+
+def measure(n_devices: int, batch_per_device: int = 64, steps: int = 8,
+            model: str = "resnet32") -> dict:
+    import jax
+    import jax.numpy as jnp
+    from ..admm import admm_init, admm_update, build_program
+    from ..configs.resolver import get_rank_plan
+    from ..models import create_model
+    from ..parallel import make_mesh
+    from ..train import TrainConfig, train_model
+
+    devices = jax.devices()[:n_devices]
+    n_layer = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = make_mesh(n_data=n_devices // n_layer, n_layer=n_layer,
+                     devices=devices)
+    cfg = TrainConfig(
+        model=model, dataset="synthetic-cifar10",
+        batch_size=batch_per_device * (n_devices // n_layer),
+        epochs=2, steps_per_epoch=steps, lr=0.1, admm=True, fmt="tk",
+        ratio="3", admm_method="subspace", compute_dtype=None,
+        synthetic_size=2048, eval_every=10**9, print_fn=lambda *a: None)
+    t0 = time.time()
+    state, hist = train_model(cfg, mesh=mesh)
+    per_epoch = hist[-1]["epoch_time_s"]  # epoch 2: compile amortized
+    return {"devices": n_devices, "mesh": (n_devices // n_layer, n_layer),
+            "global_batch": cfg.batch_size,
+            "steps_per_s": steps / per_epoch,
+            "images_per_s": steps * cfg.batch_size / per_epoch}
+
+
+def main(argv=None):
+    ns = [int(a) for a in (argv or sys.argv[1:])] or [1, 2, 4, 8]
+    results = [measure(n) for n in ns]
+    base = results[0]
+    for r in results:
+        r["scaling_efficiency_vs_1dev"] = round(
+            (r["images_per_s"] / base["images_per_s"]) /
+            (r["devices"] / base["devices"]), 3)
+        print(json.dumps(r))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -23,21 +23,48 @@ import jax.numpy as jnp
 from ._precision import mm
 
 
-def truncated_left_sv(a: jax.Array, rank: int, method: str = "svd"):
+def _cholqr(a: jax.Array) -> jax.Array:
+    """Orthonormalize columns of `a` [m, r] via (twice-iterated) Cholesky
+    QR — pure matmuls + tiny triangular solves, the TPU-friendly
+    orthogonalization (Householder QR is far slower on the MXU)."""
+    eye = jnp.eye(a.shape[1], dtype=a.dtype)
+    g = mm(a.T, a) + 1e-6 * eye
+    r1 = jnp.linalg.cholesky(g)
+    q = jax.lax.linalg.triangular_solve(r1, a.T, left_side=True, lower=True).T
+    g2 = mm(q.T, q) + 1e-7 * eye
+    r2 = jnp.linalg.cholesky(g2)
+    return jax.lax.linalg.triangular_solve(r2, q.T, left_side=True, lower=True).T
+
+
+def truncated_left_sv(a: jax.Array, rank: int, method: str = "svd",
+                      subspace_iters: int = 8):
     """Top-`rank` left singular vectors of 2-D array `a`.
 
     Returns `u` of shape ``[m, rank]`` with orthonormal columns spanning the
     dominant left singular subspace. Singular-vector signs are unspecified
     (reconstructions ``u @ u.T @ a`` are invariant).
+
+    Methods: 'svd' exact; 'gram' (eigh of the Gram matrix); 'subspace'
+    (orthogonal iteration on the Gram matrix with Cholesky-QR — 2-4x
+    faster than eigh on TPU at conv-unfolding sizes, the ADMM Z-step's
+    hot path; see bench notes in perf commit).
     """
     m = a.shape[0]
     rank = min(rank, m, a.shape[1])
+    if rank == m:
+        # full-rank subspace: projection is exact, any orthonormal basis works
+        return jnp.eye(m, dtype=a.dtype)
     if method == "gram":
         g = mm(a, a.T)  # [m, m]
         # eigh returns ascending eigenvalues; take the trailing `rank` columns.
         _, vecs = jnp.linalg.eigh(g)
         u = vecs[:, m - rank:][:, ::-1]
         return u
+    if method == "subspace":
+        g = mm(a, a.T)
+        q0 = jnp.eye(m, rank, dtype=a.dtype)
+        return jax.lax.fori_loop(
+            0, subspace_iters, lambda _, q: _cholqr(mm(g, q)), q0)
     u, _, _ = jnp.linalg.svd(a, full_matrices=False)
     return u[:, :rank]
 

@@ -172,3 +172,33 @@ class TestSVD:
         p1 = np.asarray(u1 @ u1.T)
         p2 = np.asarray(u2 @ u2.T)
         assert np.linalg.norm(p1 - p2) < 1e-2
+
+
+class TestSubspaceMethod:
+    def test_subspace_captures_near_optimal_energy(self):
+        # random matrices have slowly-decaying spectra (worst case for
+        # orthogonal iteration): the criterion is captured energy, not
+        # exact subspace identity
+        a = jax.random.normal(jax.random.PRNGKey(7), (32, 288))
+        u1 = truncated_left_sv(a, 8, method="svd")
+        u2 = truncated_left_sv(a, 8, method="subspace")
+        e1 = float(jnp.linalg.norm(u1.T @ a))
+        e2 = float(jnp.linalg.norm(u2.T @ a))
+        assert e2 >= 0.98 * e1
+        # orthonormality of the iterated basis
+        np.testing.assert_allclose(np.asarray(u2.T @ u2), np.eye(8), atol=1e-3)
+
+    def test_full_rank_shortcut_exact(self):
+        import jax, jax.numpy as jnp
+        x = jax.random.normal(jax.random.PRNGKey(8), (16, 16, 3, 3))
+        z = tucker2_project(x, 16, 16, n_iter=2, method="subspace")
+        assert float(jnp.linalg.norm(z - x) / jnp.linalg.norm(x)) < 1e-5
+
+    def test_subspace_tucker_residual_close_to_exact(self):
+        import jax, jax.numpy as jnp
+        x = jax.random.normal(jax.random.PRNGKey(9), (32, 32, 3, 3))
+        z_svd = tucker2_project(x, 16, 16, n_iter=6, method="svd")
+        z_sub = tucker2_project(x, 16, 16, n_iter=6, method="subspace")
+        e_svd = float(jnp.linalg.norm(z_svd - x))
+        e_sub = float(jnp.linalg.norm(z_sub - x))
+        assert e_sub <= e_svd * 1.02  # within 2% of the optimal residual
