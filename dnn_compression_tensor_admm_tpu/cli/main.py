@@ -79,6 +79,13 @@ def parse_args(argv=None):
                    help="checkpoint dir to resume full training state from")
     p.add_argument("--checkpoint-dir", default=None, type=str,
                    help="save full training state (incl. ADMM duals) per epoch")
+    p.add_argument("--verbose", action="store_true",
+                   help="per-layer ADMM residual logging (reference --verbose)")
+    p.add_argument("--profile-dir", default=None, type=str,
+                   help="write a jax.profiler device trace of the first epoch")
+    p.add_argument("--export", default=None, type=str, metavar="PATH",
+                   help="after loading/training, export the model as a "
+                        "StableHLO artifact (the ONNX-exporter role)")
     return p.parse_args(argv)
 
 
@@ -128,6 +135,7 @@ def main(argv=None):
                            if args.teacher_path else None),
         ema_decay=args.ema_decay, seed=args.seed,
         resume=args.resume, checkpoint_dir=args.checkpoint_dir,
+        verbose_admm=args.verbose, profile_dir=args.profile_dir,
         compute_dtype=None if args.fp32 else "bfloat16",
         synthetic_size=args.synthetic_size, eval_every=args.eval_every,
     )
@@ -161,6 +169,13 @@ def main(argv=None):
             if not args.model_path:
                 raise SystemExit("ERROR: --eval/--runtime need --model-path")
             init_variables = load_variables(args.model_path)
+        if args.export:
+            from ..utils.export import export_model
+            sz = info.input_size
+            export_model(model, init_variables,
+                         (args.batch_size, sz, sz, len(info.mean)), args.export)
+            print(f"exported StableHLO artifact to {args.export}")
+            return
         if args.runtime:
             r = eval_runtime(model, init_variables, info,
                              batch_size=args.batch_size)

@@ -77,6 +77,8 @@ class TrainConfig:
     teacher_model: Optional[str] = None
     teacher_variables: Any = None
     # misc
+    verbose_admm: bool = False   # per-layer ||W-Z|| logging (reference --verbose)
+    profile_dir: Optional[str] = None  # write a jax.profiler trace of epoch 1
     ema_decay: float = 0.0
     seed: int = 0
     compute_dtype: Optional[str] = "bfloat16"
@@ -388,6 +390,8 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         start_epoch = int(extra["epoch"]) + 1 if extra else 0
         log(f"resumed from {cfg.resume} at epoch {start_epoch}")
 
+    from ..utils.profiling import PhaseTimer, trace
+    timer = PhaseTimer()
     history = []
     epochs = max_epochs or cfg.epochs
     for epoch in range(start_epoch, epochs):
@@ -395,8 +399,18 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         rho = cfg.rho * (5.0 if (cfg.adjust_rho_late and
                                  epoch > int(0.85 * cfg.epochs)) else 1.0)
         if cfg.admm:
-            new_admm, residuals = zu_step(state.params, state.admm)  # engines.py:270-271
+            with timer.phase("z_step"):
+                new_admm, residuals = zu_step(state.params, state.admm)  # engines.py:270-271
+                jax.block_until_ready(new_admm.z)
             state = state.replace(admm=new_admm)
+            if cfg.verbose_admm:
+                # reference --verbose: per-layer norm(w-z) (admm.py:77-78)
+                log(json.dumps({"admm_residuals": {
+                    k: round(float(v), 5) for k, v in residuals.items()}}))
+        prof_ctx = (trace(cfg.profile_dir)
+                    if (cfg.profile_dir and epoch == start_epoch) else None)
+        if prof_ctx is not None:
+            prof_ctx.__enter__()
         if streaming:
             accs, losses = [], []
             for _ in range(steps):
@@ -407,7 +421,11 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
             metrics = {"loss": jnp.mean(jnp.stack(losses)),
                        "acc": jnp.mean(jnp.stack(accs))}
         else:
-            state, metrics = run_steps(state, rho, steps)
+            with timer.phase("x_step_scan"):
+                state, metrics = run_steps(state, rho, steps)
+                metrics = jax.block_until_ready(metrics)
+        if prof_ctx is not None:
+            prof_ctx.__exit__(None, None, None)
         train_loss = float(metrics["loss"])
         if not math.isfinite(train_loss):
             raise FloatingPointError(f"loss is {train_loss}, stopping")  # engines.py:302-304
@@ -427,6 +445,8 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         if cfg.log_path:
             with open(cfg.log_path, "a") as f:
                 f.write(json.dumps(row) + "\n")
+    if cfg.admm or cfg.profile_dir:
+        timer.log(log)
     return state, history
 
 
