@@ -113,7 +113,9 @@ class TestDistillAndResume:
                          epochs=3, steps_per_epoch=2, resume=ck)
         state2, hist2 = train_model(cfg2)
         assert hist2[0]["epoch"] == 3
-        u = np.asarray(state2.admm.u["layer1.0.conv1.weight"])
+        # layer1 TK ranks are full-rank at 3x (projection exact, dual stays
+        # 0 by design); check a genuinely truncated layer instead
+        u = np.asarray(state2.admm.u["layer3.0.conv1.weight"])
         assert not np.allclose(u, 0)  # duals survived (reference drops them)
 
 
