@@ -34,7 +34,7 @@ def main():
     cfg = TrainConfig(
         model="resnet32", dataset="synthetic-cifar10", batch_size=256,
         epochs=4, steps_per_epoch=steps_per_epoch, lr=0.1, smoothing=0.1,
-        admm=True, fmt="tk", ratio="3", admm_method="subspace", admm_hooi_iters=6,
+        admm=True, fmt="tk", ratio="3", admm_method="pallas", admm_hooi_iters=6,
         compute_dtype="bfloat16", eval_every=10**9, print_fn=lambda *a: None,
     )
 

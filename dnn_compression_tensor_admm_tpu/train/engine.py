@@ -66,7 +66,7 @@ class TrainConfig:
     fmt: str = "tk"
     ratio: str = "3"
     tt_type: str = "general"
-    admm_method: str = "subspace"  # projection subspace solver on the hot path
+    admm_method: str = "pallas"  # fused Pallas TK kernel; falls back to XLA subspace
     admm_hooi_iters: int = 6
     adjust_rho_late: bool = False  # reference has this call commented out
     orthogonal: bool = False
