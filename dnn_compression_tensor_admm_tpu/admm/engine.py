@@ -177,17 +177,24 @@ def admm_init(params, program: ProjectionProgram) -> AdmmState:
 
 
 def _project_group_pallas(g: _Group, ts: jax.Array, n_iter: int) -> jax.Array:
-    """Fused-kernel Z-step for a Tucker-2 bucket (ts in storage layout).
+    """Fused-kernel Z-step for one bucket (ts in storage layout).
 
-    Reshapes the stacked bucket into the kernel's [L, K, O, I] view, runs
-    the single fused Pallas factor solve + one XLA reconstruction, and
-    returns storage layout. Falls back to None if unsupported here.
+    Reshapes the stacked bucket into the kernel's batched view, runs the
+    fused Pallas solve(s) + XLA reconstruction, and returns storage
+    layout. Returns None where unsupported (caller falls back to the
+    batched-XLA path): TK/SVD route through the Tucker-2 factor kernel
+    (SVD is the K=1, r0=r1 special case — projecting onto the top-r left
+    and right singular subspaces IS the truncated SVD), TT through the
+    batched TT-SVD sweep built on the subspace kernel.
     """
     import os
-    from ..ops.pallas import pallas_tk_supported, tucker2_project_batched
+    from ..ops.pallas import (pallas_tk_supported, tt_project_batched,
+                              tt_supported_pallas, tucker2_project_batched)
+    from ..ops.ttd import clamp_tt_ranks
     interpret = jax.default_backend() != "tpu"
     if interpret and os.environ.get("DCTA_PALLAS_INTERPRET") != "1":
         return None  # off-TPU: the XLA subspace path is faster than interpret mode
+    sweeps = max(1, n_iter // 3)
     if g.kind == "tk_conv":
         l, kh, kw, i, o = ts.shape
         sp = g.spec.clamped((o, i, kh, kw))
@@ -195,8 +202,7 @@ def _project_group_pallas(g: _Group, ts: jax.Array, n_iter: int) -> jax.Array:
         if not pallas_tk_supported(x.shape, x.dtype):
             return None
         z = tucker2_project_batched(x, sp.out_rank, sp.in_rank,
-                                    sweeps=max(1, n_iter // 3),
-                                    interpret=interpret)
+                                    sweeps=sweeps, interpret=interpret)
         return z.transpose(0, 1, 3, 2).reshape(l, kh, kw, i, o)
     if g.kind == "tk_linear":
         l, i, o = ts.shape  # flax Dense stores [in, out]
@@ -205,9 +211,48 @@ def _project_group_pallas(g: _Group, ts: jax.Array, n_iter: int) -> jax.Array:
         if not pallas_tk_supported(x.shape, x.dtype):
             return None
         z = tucker2_project_batched(x, sp.out_rank, sp.in_rank,
-                                    sweeps=max(1, n_iter // 3),
+                                    sweeps=sweeps, interpret=interpret)
+        return z[:, 0].transpose(0, 2, 1)
+    if g.kind == "svd_conv":
+        l, kh, kw, i, o = ts.shape
+        if not (kh == 1 and kw == 1):
+            return None
+        r = min(g.spec.rank, o, i)
+        x = ts.reshape(l, i, o).transpose(0, 2, 1)[:, None]  # [L, 1, O, I]
+        if not pallas_tk_supported(x.shape, x.dtype):
+            return None
+        z = tucker2_project_batched(x, r, r, sweeps=sweeps,
+                                    interpret=interpret)
+        return z[:, 0].transpose(0, 2, 1).reshape(l, 1, 1, i, o)
+    if g.kind == "svd_linear":
+        l, i, o = ts.shape
+        r = min(g.spec.rank, o, i)
+        x = ts.transpose(0, 2, 1)[:, None]
+        if not pallas_tk_supported(x.shape, x.dtype):
+            return None
+        z = tucker2_project_batched(x, r, r, sweeps=sweeps,
                                     interpret=interpret)
         return z[:, 0].transpose(0, 2, 1)
+    if g.kind == "tt_conv":
+        l, kh, kw, i, o = ts.shape
+        shapes = list(g.spec.tt_shapes)
+        ranks = clamp_tt_ranks(shapes, g.spec.tt_ranks)
+        x = ts.transpose(0, 4, 1, 2, 3).reshape(l, -1)  # canonical [O, kh*kw, I]
+        if not tt_supported_pallas(l, x.shape[1], shapes, ranks, x.dtype):
+            return None
+        z = tt_project_batched(x, shapes, ranks, iters=max(8, n_iter),
+                               interpret=interpret)
+        return z.reshape(l, o, kh, kw, i).transpose(0, 2, 3, 4, 1)
+    if g.kind == "tt_linear":
+        l, i, o = ts.shape
+        shapes = list(g.spec.tt_shapes)
+        ranks = clamp_tt_ranks(shapes, g.spec.tt_ranks)
+        x = ts.transpose(0, 2, 1).reshape(l, -1)  # canonical [out, in]
+        if not tt_supported_pallas(l, x.shape[1], shapes, ranks, x.dtype):
+            return None
+        z = tt_project_batched(x, shapes, ranks, iters=max(8, n_iter),
+                               interpret=interpret)
+        return z.reshape(l, o, i).transpose(0, 2, 1)
     return None
 
 

@@ -44,6 +44,16 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
 
+def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """f32 MXU matmul. `precision=HIGHEST` is load-bearing: the MXU
+    truncates f32 inputs to bf16 at DEFAULT precision, which is enough to
+    (a) break exactness on full-rank (identity-factor) layers and (b)
+    destabilize the Newton-Schulz inverse-sqrt iteration on
+    ill-conditioned Gram matrices."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def pallas_tk_supported(shape: Tuple[int, ...], dtype=jnp.float32) -> bool:
     """True if a [L, K, O, I] bucket fits the kernel's VMEM plan."""
     if len(shape) != 4:
@@ -67,18 +77,18 @@ def _ns_inv_sqrt(s: jax.Array, iters: int) -> jax.Array:
     t = s / c + 1e-6 * eye
     y, z = t, eye
     for _ in range(iters):
-        w = 0.5 * (3.0 * eye - jnp.dot(z, y, preferred_element_type=jnp.float32))
-        y = jnp.dot(y, w, preferred_element_type=jnp.float32)
-        z = jnp.dot(w, z, preferred_element_type=jnp.float32)
+        w = 0.5 * (3.0 * eye - _dot(z, y))
+        y = _dot(y, w)
+        z = _dot(w, z)
     return z * jax.lax.rsqrt(c)
 
 
 def _orth_iter(g: jax.Array, q: jax.Array, iters: int, ns_iters: int) -> jax.Array:
     """Orthogonal (subspace) iteration: Q <- orth(G Q), `iters` times."""
     for _ in range(iters):
-        y = jnp.dot(g, q, preferred_element_type=jnp.float32)
-        s = jnp.dot(y.T, y, preferred_element_type=jnp.float32)
-        q = jnp.dot(y, _ns_inv_sqrt(s, ns_iters), preferred_element_type=jnp.float32)
+        y = _dot(g, q)
+        s = _dot(y.T, y)
+        q = _dot(y, _ns_inv_sqrt(s, ns_iters))
     return q
 
 
@@ -93,13 +103,13 @@ def _tk_factor_kernel(x_ref, u0_ref, u1_ref, *, k: int, r0: int, r1: int,
     def gram0(ms):  # sum_k M_k M_k^T
         acc = jnp.zeros((ms[0].shape[0], ms[0].shape[0]), jnp.float32)
         for m in ms:
-            acc = acc + jnp.dot(m, m.T, preferred_element_type=jnp.float32)
+            acc = acc + _dot(m, m.T)
         return acc
 
     def gram1(ms):  # sum_k M_k^T M_k
         acc = jnp.zeros((ms[0].shape[1], ms[0].shape[1]), jnp.float32)
         for m in ms:
-            acc = acc + jnp.dot(m.T, m, preferred_element_type=jnp.float32)
+            acc = acc + _dot(m.T, m)
         return acc
 
     # --- HOSVD init
@@ -117,10 +127,10 @@ def _tk_factor_kernel(x_ref, u0_ref, u1_ref, *, k: int, r0: int, r1: int,
     # --- HOOI sweeps, warm-started from the previous factors
     for _ in range(sweeps):
         if r0 < o:
-            m0 = [jnp.dot(xk, u1, preferred_element_type=jnp.float32) for xk in xs]
+            m0 = [_dot(xk, u1) for xk in xs]
             u0 = _orth_iter(gram0(m0), u0, sweep_iters, ns_iters)
         if r1 < i:
-            m1 = [jnp.dot(u0.T, xk, preferred_element_type=jnp.float32) for xk in xs]
+            m1 = [_dot(u0.T, xk) for xk in xs]
             u1 = _orth_iter(gram1(m1), u1, sweep_iters, ns_iters)
 
     u0_ref[0] = u0.astype(u0_ref.dtype)
@@ -172,6 +182,8 @@ def tucker2_project_batched(x: jax.Array, r0: int, r1: int, *,
     xf = x.astype(jnp.float32)
     u0f = u0.astype(jnp.float32)
     u1f = u1.astype(jnp.float32)
-    core = jnp.einsum("lkoi,lor,lis->lkrs", xf, u0f, u1f, optimize=True)
-    z = jnp.einsum("lkrs,lor,lis->lkoi", core, u0f, u1f, optimize=True)
+    core = jnp.einsum("lkoi,lor,lis->lkrs", xf, u0f, u1f, optimize=True,
+                      precision=jax.lax.Precision.HIGHEST)
+    z = jnp.einsum("lkrs,lor,lis->lkoi", core, u0f, u1f, optimize=True,
+                   precision=jax.lax.Precision.HIGHEST)
     return z.astype(x.dtype)
