@@ -20,6 +20,8 @@ from .factorization import (
     tt_linear_spec_from_ratio, svd_spec_from_ratio)
 from .tt_embedding import TTEmbedding
 from .svd_embedding import SVDEmbedding
+from .ket_embedding import (EarlyStopping, KetEmbedding, KetXSEmbedding,
+                            fit_ket_to_dense, ket_rank_from_ratio)
 from .bert import (BertConfig, BertModel, BertForSequenceClassification,
                    BertForQuestionAnswering, BertCompressionPlan)
 from .distill import (attention_hidden_distill_loss, soft_logits_loss)

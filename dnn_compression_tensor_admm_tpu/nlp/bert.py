@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..configs.hp import SVDSpec, TTLinearSpec
 from ..layers import SVDLinear, TTLinear
 from .factorization import svd_spec_from_ratio, tt_linear_spec_from_ratio
+from .ket_embedding import KetEmbedding, KetXSEmbedding
 from .svd_embedding import SVDEmbedding
 from .tt_embedding import TTEmbedding
 
@@ -48,13 +49,16 @@ class BertCompressionPlan:
 
     linear_format: 'tt' | 'svd' | None — applied to the six encoder
     linears per layer (query/key/value, attention output, intermediate,
-    output). embedding_format: 'svd' | 'tt' | None — word embedding.
+    output). embedding_format: 'svd' | 'tt' | 'ket' | 'ketxs' | None —
+    word embedding ('ket'/'ketxs' are the reference's word2ket
+    Kronecker embeddings, embedding_utils.py:96-332).
     """
     linear_format: Optional[str] = None
     linear_ratio: float = 2.0
     tt_dim: int = 2
     embedding_format: Optional[str] = None
     embedding_ratio: float = 4.0
+    embedding_order: int = 4  # ket/ketxs Kronecker order
 
 
 def _linear(cfg_plan: Optional[BertCompressionPlan], in_f: int, out_f: int,
@@ -89,6 +93,16 @@ class BertEmbeddings(nn.Module):
             word = TTEmbedding(c.vocab_size, c.hidden_size,
                                compression_ratio=self.plan.embedding_ratio,
                                name="word_embeddings")(input_ids)
+        elif self.plan is not None and self.plan.embedding_format == "ket":
+            word = KetEmbedding(c.vocab_size, c.hidden_size,
+                                order=self.plan.embedding_order,
+                                compression_ratio=self.plan.embedding_ratio,
+                                name="word_embeddings")(input_ids)
+        elif self.plan is not None and self.plan.embedding_format == "ketxs":
+            word = KetXSEmbedding(c.vocab_size, c.hidden_size,
+                                  order=self.plan.embedding_order,
+                                  compression_ratio=self.plan.embedding_ratio,
+                                  name="word_embeddings")(input_ids)
         else:
             table = self.param("word_embeddings.weight", init,
                                (c.vocab_size, c.hidden_size))

@@ -34,6 +34,7 @@ class GeneralDistillConfig:
     plan: BertCompressionPlan = dataclasses.field(
         default_factory=lambda: BertCompressionPlan(linear_format="tt",
                                                     linear_ratio=2.0))
+    grad_accum_steps: int = 1  # reference general_distill.py grad-accum path
     print_fn: Callable = print
 
 
@@ -64,7 +65,8 @@ def run_general_distillation(cfg: GeneralDistillConfig, texts=None,
                                      sample["token_type_ids"])
 
     steps = max(1, len(data["input_ids"]) // cfg.batch_size) * cfg.epochs
-    tx = _bert_adam(cfg.lr, steps, cfg.warmup_frac)
+    steps = max(1, steps // cfg.grad_accum_steps)
+    tx = _bert_adam(cfg.lr, steps, cfg.warmup_frac, cfg.grad_accum_steps)
     opt = tx.init(student_variables["params"])
 
     @jax.jit

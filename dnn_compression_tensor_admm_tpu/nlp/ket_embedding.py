@@ -1,0 +1,211 @@
+"""Kronecker-product ("word2ket") embeddings.
+
+Capability parity with the reference's
+xcompression/transformer/embedding_utils.py:
+
+* `KetEmbedding`   — EmbeddingKet (embedding_utils.py:96-204): only the
+  feature dim is factorized. Leaves are `[order, rank, vocab, d_leaf]`
+  with d_leaf = ceil(D ** (1/order)); row v of the table is
+  sum_r  leaf[0,r,v] ⊗ leaf[1,r,v] ⊗ … (a row-wise Khatri-Rao product),
+  truncated to D features.
+* `KetXSEmbedding` — EmbeddingKetXS (embedding_utils.py:235-332): both
+  dims factorized; the table is sum_r kron(leaf[0,r], …, leaf[o-1,r])
+  truncated to [vocab, D].
+* `EarlyStopping`  — embedding_utils.py:20-67.
+* `fit_ket_to_dense` — BaseEmbedding.initialize (embedding_utils.py:77-93):
+  SGD-fit the leaves to a pretrained dense table by MSE with early
+  stopping.
+
+TPU-native design: the reference materializes the full [V, D] table
+every forward (get_weights, embedding_utils.py:147-193) or falls back to
+a gpytorch lazy path. Here the forward gathers the per-token leaf rows
+first and fuses the Kronecker chain on the gathered [..., rank, d_leaf]
+slices — O(tokens · rank · D) instead of O(V · rank · D) per step, all
+static-shaped under jit. For KetXS the row index is decomposed into
+mixed-radix digits over the vocab leaves (most-significant digit = leaf
+0, matching Kronecker row ordering), so the gather path is exact.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class EarlyStopping:
+    """Patience-based stopper (reference embedding_utils.py:20-67)."""
+
+    def __init__(self, mode: str = "min", min_delta: float = 0.0,
+                 patience: int = 10, percentage: bool = False):
+        if mode not in ("min", "max"):
+            raise ValueError(f"mode {mode} is unknown")
+        self.mode, self.min_delta, self.percentage = mode, min_delta, percentage
+        self.patience = patience
+        self.best = None
+        self.num_bad_epochs = 0
+
+    def _is_better(self, a, best) -> bool:
+        d = best * self.min_delta / 100 if self.percentage else self.min_delta
+        return a < best - d if self.mode == "min" else a > best + d
+
+    def step(self, metric: float) -> bool:
+        """Returns True when training should stop."""
+        if self.patience == 0:
+            return False
+        if self.best is None:
+            self.best = metric
+            return False
+        if not np.isfinite(metric):
+            return True
+        if self._is_better(metric, self.best):
+            self.num_bad_epochs = 0
+            self.best = metric
+        else:
+            self.num_bad_epochs += 1
+        return self.num_bad_epochs >= self.patience
+
+
+def _khatri_rao_chain(slices: jax.Array) -> jax.Array:
+    """slices: [order, ..., d_leaf] -> [..., d_leaf**order] per-row
+    Kronecker (outer-product-and-flatten) chain, leaf 0 most significant."""
+    acc = slices[0]
+    for i in range(1, slices.shape[0]):
+        acc = (acc[..., :, None] * slices[i][..., None, :])
+        acc = acc.reshape(*acc.shape[:-2], -1)
+    return acc
+
+
+def ket_rank_from_ratio(num_embeddings: int, features: int, order: int,
+                        ratio: float, xs: bool = False) -> int:
+    """Smallest rank whose leaf parameter count compresses the dense
+    [V, D] table by >= ratio (the reference hand-picks order/rank;
+    this derives rank the same way the TT/SVD rank solvers do)."""
+    d_leaf = math.ceil(features ** (1.0 / order))
+    v_leaf = math.ceil(num_embeddings ** (1.0 / order)) if xs else num_embeddings
+    per_rank = order * v_leaf * d_leaf
+    return max(1, int(num_embeddings * features / ratio / per_rank))
+
+
+class KetEmbedding(nn.Module):
+    """EmbeddingKet (reference embedding_utils.py:96-204), gather-first."""
+
+    num_embeddings: int
+    features: int
+    order: int = 2
+    rank: Optional[int] = None
+    compression_ratio: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        d_leaf = math.ceil(self.features ** (1.0 / self.order))
+        r = self.rank or ket_rank_from_ratio(
+            self.num_embeddings, self.features, self.order,
+            self.compression_ratio or 4.0)
+        self.d_leaf, self._rank = d_leaf, r
+        self.weight_leafs = self.param(
+            "weight_leafs", nn.initializers.xavier_uniform(),
+            (self.order, r, self.num_embeddings, d_leaf))
+
+    def full_table(self) -> jax.Array:
+        """Materialized [V, D] table (reference get_weights,
+        embedding_utils.py:147-193) — for fitting/inspection only; the
+        forward never builds this."""
+        w = _khatri_rao_chain(self.weight_leafs)          # [r, V, d^o]
+        return w.sum(0)[:, :self.features]
+
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        # [order, r, V, d] -> gather tokens -> [order, r, ..., d]
+        leaves = jnp.take(self.weight_leafs, ids, axis=2)
+        y = _khatri_rao_chain(leaves).sum(0)              # [..., d^o]
+        y = y[..., :self.features]
+        return y.astype(self.dtype) if self.dtype is not None else y
+
+
+class KetXSEmbedding(nn.Module):
+    """EmbeddingKetXS (reference embedding_utils.py:235-332): both the
+    vocab and feature dims factorized; forward decomposes token ids into
+    mixed-radix digits over the vocab leaves instead of materializing
+    the [V_leaf**order, d_leaf**order] Kronecker table."""
+
+    num_embeddings: int
+    features: int
+    order: int = 4
+    rank: Optional[int] = None
+    compression_ratio: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.v_leaf = math.ceil(self.num_embeddings ** (1.0 / self.order))
+        self.d_leaf = math.ceil(self.features ** (1.0 / self.order))
+        r = self.rank or ket_rank_from_ratio(
+            self.num_embeddings, self.features, self.order,
+            self.compression_ratio or 4.0, xs=True)
+        self._rank = r
+        self.weight_leafs = self.param(
+            "weight_leafs", nn.initializers.normal(1.0),
+            (self.order, r, self.v_leaf, self.d_leaf))
+
+    def full_table(self) -> jax.Array:
+        w = self.weight_leafs                              # [o, r, vl, dl]
+        acc = w[0]
+        for i in range(1, self.order):
+            # kron over both dims: rows leaf-0-major (reference
+            # knocker_product, embedding_utils.py:325-332)
+            acc = (acc[:, :, None, :, None] * w[i][:, None, :, None, :])
+            acc = acc.reshape(acc.shape[0], acc.shape[1] * acc.shape[2], -1)
+        return acc.sum(0)[:self.num_embeddings, :self.features]
+
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        # mixed-radix digits, most-significant = leaf 0: the row of a
+        # Kronecker product kron(A, B) at index v is A[v // rows_B] ⊗ B[v % rows_B]
+        digits = []
+        rem = ids
+        for i in reversed(range(self.order)):
+            digits.append(rem % self.v_leaf)
+            rem = rem // self.v_leaf
+        digits = digits[::-1]                              # leaf 0 first
+        # per-leaf gather: [r, ..., d_leaf] each
+        leaves = jnp.stack(
+            [jnp.take(self.weight_leafs[i], digits[i], axis=1)
+             for i in range(self.order)])                  # [o, r, ..., d]
+        y = _khatri_rao_chain(leaves).sum(0)[..., :self.features]
+        return y.astype(self.dtype) if self.dtype is not None else y
+
+
+def fit_ket_to_dense(module: nn.Module, dense: jax.Array, steps: int = 1000,
+                     lr: float = 0.1, patience: int = 6, seed: int = 0,
+                     print_fn=None):
+    """BaseEmbedding.initialize (reference embedding_utils.py:77-93):
+    SGD-fit the Kronecker leaves to a pretrained dense table by MSE with
+    early stopping. Returns (variables, final_loss)."""
+    dense = jnp.asarray(dense, jnp.float32)
+    variables = module.init(jax.random.PRNGKey(seed),
+                            jnp.zeros((1,), jnp.int32))
+    tx = optax.sgd(lr)
+    opt = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            table = module.apply({"params": p}, method=module.full_table)
+            return jnp.mean((table - dense) ** 2)
+        l, g = jax.value_and_grad(loss_fn)(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, l
+
+    es = EarlyStopping(patience=patience)
+    params, loss = variables["params"], float("inf")
+    for i in range(steps):
+        params, opt, l = step(params, opt)
+        loss = float(l)
+        if print_fn is not None and i % 100 == 0:
+            print_fn(f"ket fit step {i}: mse {loss:.6f}")
+        if es.step(loss):
+            break
+    return {"params": params}, loss

@@ -54,17 +54,24 @@ class DistillConfig:
             linear_format="tt", linear_ratio=2.0, embedding_format="svd",
             embedding_ratio=4.5))
     temperature: float = 1.0
+    grad_accum_steps: int = 1  # reference task_distill.py:843-846
     print_fn: Callable = print
 
 
-def _bert_adam(lr, total_steps, warmup_frac):
-    sched = optax.warmup_cosine_decay_schedule  # noqa: F841 (linear used)
+def _bert_adam(lr, total_steps, warmup_frac, grad_accum_steps=1):
+    """BertAdam semantics (reference optimization.py:183-301): AdamW with
+    warmup-linear schedule. `grad_accum_steps` > 1 wraps the optimizer in
+    optax.MultiSteps — gradients accumulate across micro-batches and the
+    update applies every N steps (reference task_distill.py:843-846)."""
     schedule = optax.join_schedules(
         [optax.linear_schedule(0.0, lr, max(1, int(total_steps * warmup_frac))),
          optax.linear_schedule(lr, 0.0, max(1, total_steps -
                                             int(total_steps * warmup_frac)))],
         [int(total_steps * warmup_frac)])
-    return optax.adamw(schedule, weight_decay=0.01)
+    tx = optax.adamw(schedule, weight_decay=0.01)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx
 
 
 def _batches(data: Dict[str, np.ndarray], batch: int, rng: np.random.RandomState):
@@ -155,7 +162,8 @@ def run_task_distillation(cfg: DistillConfig, teacher_variables=None):
 
     # ---- stage 1: attention + hidden MSE (pred_distill=False) ------------
     steps1 = max(1, len(train["labels"]) // cfg.batch_size) * cfg.stage1_epochs
-    tx1 = _bert_adam(cfg.lr_stage1, steps1, cfg.warmup_frac)
+    steps1 = max(1, steps1 // cfg.grad_accum_steps)  # optimizer updates, not micro-batches
+    tx1 = _bert_adam(cfg.lr_stage1, steps1, cfg.warmup_frac, cfg.grad_accum_steps)
     opt1 = tx1.init(student_variables["params"])
 
     @jax.jit
@@ -186,7 +194,8 @@ def run_task_distillation(cfg: DistillConfig, teacher_variables=None):
 
     # ---- stage 2: soft logits CE (pred_distill=True) ----------------------
     steps2 = max(1, len(train["labels"]) // cfg.batch_size) * cfg.stage2_epochs
-    tx2 = _bert_adam(cfg.lr_stage2, steps2, cfg.warmup_frac)
+    steps2 = max(1, steps2 // cfg.grad_accum_steps)
+    tx2 = _bert_adam(cfg.lr_stage2, steps2, cfg.warmup_frac, cfg.grad_accum_steps)
     opt2 = tx2.init(params)
 
     @jax.jit

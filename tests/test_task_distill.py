@@ -81,3 +81,39 @@ class TestTwoStageDistill:
         # the synthetic rule is keyword-based: distilled student should
         # beat chance on dev
         assert hist[-1]["acc"] > 0.9, hist[-1]
+
+
+class TestGradAccumulation:
+    def test_multisteps_applies_every_k(self):
+        """grad_accum_steps wraps the optimizer in optax.MultiSteps
+        (reference task_distill.py:843-846): params stay frozen for k-1
+        micro-batches and move on the k-th."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from dnn_compression_tensor_admm_tpu.nlp.task_distill import _bert_adam
+
+        tx = _bert_adam(1e-2, total_steps=10, warmup_frac=0.0,
+                        grad_accum_steps=3)
+        params = {"w": jnp.ones((4,))}
+        opt = tx.init(params)
+        grads = {"w": jnp.full((4,), 0.5)}
+        for i in range(1, 7):
+            u, opt = tx.update(grads, opt, params)
+            new = optax.apply_updates(params, u)
+            moved = bool(jnp.any(new["w"] != params["w"]))
+            assert moved == (i % 3 == 0), (i, moved)
+            params = new
+
+    def test_accum_pipeline_smoke(self):
+        cfg = DistillConfig(
+            task="sst-2", n_synthetic=64, max_seq_length=16, batch_size=8,
+            stage1_epochs=1, stage2_epochs=1, teacher_epochs=1,
+            grad_accum_steps=2,
+            bert=BertConfig(vocab_size=0, hidden_size=16, num_layers=1,
+                            num_heads=2, intermediate_size=32,
+                            max_position=16, dropout=0.0, attn_dropout=0.0),
+            plan=BertCompressionPlan(linear_format="svd", linear_ratio=2.0),
+            print_fn=lambda *a: None)
+        variables, hist = run_task_distillation(cfg)
+        assert np.isfinite(hist[-1]["loss"])
