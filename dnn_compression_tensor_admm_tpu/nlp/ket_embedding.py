@@ -187,7 +187,9 @@ def fit_ket_to_dense(module: nn.Module, dense: jax.Array, steps: int = 1000,
     dense = jnp.asarray(dense, jnp.float32)
     variables = module.init(jax.random.PRNGKey(seed),
                             jnp.zeros((1,), jnp.int32))
-    tx = optax.sgd(lr)
+    # Adam rather than plain SGD: the Kronecker-leaf MSE landscape is badly
+    # conditioned (products of leaves), and SGD stalls at small ranks.
+    tx = optax.adam(lr)
     opt = tx.init(variables["params"])
 
     @jax.jit
