@@ -13,8 +13,8 @@ xcompression/transformer/embedding_utils.py:
   truncated to [vocab, D].
 * `EarlyStopping`  — embedding_utils.py:20-67.
 * `fit_ket_to_dense` — BaseEmbedding.initialize (embedding_utils.py:77-93):
-  SGD-fit the leaves to a pretrained dense table by MSE with early
-  stopping.
+  fit the leaves to a pretrained dense table by MSE with early stopping
+  (Adam here; the reference used SGD, but its fitter is non-functional).
 
 TPU-native design: the reference materializes the full [V, D] table
 every forward (get_weights, embedding_utils.py:147-193) or falls back to
@@ -179,11 +179,12 @@ class KetXSEmbedding(nn.Module):
 
 
 def fit_ket_to_dense(module: nn.Module, dense: jax.Array, steps: int = 1000,
-                     lr: float = 0.1, patience: int = 6, seed: int = 0,
+                     lr: float = 1e-2, patience: int = 6, seed: int = 0,
                      print_fn=None):
     """BaseEmbedding.initialize (reference embedding_utils.py:77-93):
-    SGD-fit the Kronecker leaves to a pretrained dense table by MSE with
-    early stopping. Returns (variables, final_loss)."""
+    Adam-fit the Kronecker leaves to a pretrained dense table by MSE with
+    early stopping (reference used SGD, whose fitter is non-functional).
+    Returns (variables, final_loss)."""
     dense = jnp.asarray(dense, jnp.float32)
     variables = module.init(jax.random.PRNGKey(seed),
                             jnp.zeros((1,), jnp.int32))

@@ -87,6 +87,16 @@ class TestFitAndEarlyStopping:
         v, loss = fit_ket_to_dense(m, dense, steps=200, lr=0.05)
         assert loss < mse0 * 0.5, (loss, mse0)
 
+    def test_fit_default_lr(self):
+        """Default lr must make steady progress too (advisor r1)."""
+        rng = np.random.RandomState(1)
+        dense = rng.randn(12, 4).astype(np.float32) @ rng.randn(4, 9).astype(np.float32)
+        m = KetEmbedding(num_embeddings=12, features=9, order=2, rank=4)
+        v0 = m.init(jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32))
+        mse0 = float(jnp.mean((m.apply(v0, method=m.full_table) - dense) ** 2))
+        v, loss = fit_ket_to_dense(m, dense, steps=300)
+        assert loss < mse0 * 0.5, (loss, mse0)
+
 
 class TestBertKetPlan:
     def test_bert_forward_with_ket_embeddings(self):
