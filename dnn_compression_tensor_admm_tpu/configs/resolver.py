@@ -56,11 +56,30 @@ def strip_format_prefix(model: str) -> str:
 
 
 def get_rank_plan(model: str, fmt: str, ratio: str, tt_type: str = "general") -> RankPlan:
-    """Resolve the plan for a model name (with or without format prefix)."""
+    """Resolve the plan for a model name (with or without format prefix).
+
+    Hand-tuned reference tables win; any other numeric ratio falls back
+    to the automatic rank planner (the reference's get_hp_dict instead
+    returns None there, utils.py:397-400, leaving its own registered
+    builders like tkc_resnet20 un-instantiable).
+    """
     _load_all()
     base = strip_format_prefix(model)
     key = (base, fmt, str(ratio), tt_type)
-    if key not in _REGISTRY:
-        avail = sorted(k for k in _REGISTRY if k[0] == base)
-        raise KeyError(f"no rank plan for {key}; available for {base}: {avail}")
-    return _REGISTRY[key]()
+    if key in _REGISTRY:
+        try:
+            return _REGISTRY[key]()
+        except KeyError:
+            pass  # registered combo with no reference table: try auto plan
+    try:
+        numeric = float(ratio)
+    except (TypeError, ValueError):
+        numeric = None
+    if numeric is not None and numeric > 1.0:
+        from .auto_plan import auto_rank_plan
+        try:
+            return auto_rank_plan(base, fmt, numeric, tt_type=tt_type)
+        except KeyError:
+            pass  # unknown base model: fall through to the catalog error
+    avail = sorted(k for k in _REGISTRY if k[0] == base)
+    raise KeyError(f"no rank plan for {key}; available for {base}: {avail}")
