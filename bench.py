@@ -49,7 +49,9 @@ def main():
     for f in sorted(glob.glob("BENCH_r*.json"),
                     key=lambda p: int(re.search(r"r(\d+)", p).group(1))):
         try:
-            prev = json.load(open(f)).get("value")
+            rec = json.load(open(f))
+            # driver records our line under "parsed"; accept both layouts
+            prev = (rec.get("parsed") or rec).get("value") or prev
         except Exception:
             pass
     vs = (iters_per_s / prev) if prev else 1.0

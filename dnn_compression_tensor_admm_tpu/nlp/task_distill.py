@@ -27,6 +27,7 @@ from ..train.losses import cross_entropy
 from .bert import (BertCompressionPlan, BertConfig,
                    BertForSequenceClassification)
 from .distill import attention_hidden_distill_loss, soft_logits_loss
+from .optimization import bert_adam
 from .glue import (PROCESSORS, convert_examples, glue_metric,
                    synthetic_examples)
 from .tokenization import WordPieceTokenizer, build_vocab_from_texts
@@ -59,19 +60,11 @@ class DistillConfig:
 
 
 def _bert_adam(lr, total_steps, warmup_frac, grad_accum_steps=1):
-    """BertAdam semantics (reference optimization.py:183-301): AdamW with
-    warmup-linear schedule. `grad_accum_steps` > 1 wraps the optimizer in
-    optax.MultiSteps — gradients accumulate across micro-batches and the
-    update applies every N steps (reference task_distill.py:843-846)."""
-    schedule = optax.join_schedules(
-        [optax.linear_schedule(0.0, lr, max(1, int(total_steps * warmup_frac))),
-         optax.linear_schedule(lr, 0.0, max(1, total_steps -
-                                            int(total_steps * warmup_frac)))],
-        [int(total_steps * warmup_frac)])
-    tx = optax.adamw(schedule, weight_decay=0.01)
-    if grad_accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
-    return tx
+    """Faithful BertAdam (see nlp/optimization.py): no bias correction,
+    per-parameter grad clipping, warmup-linear schedule
+    (reference optimization.py:183-301, task_distill.py:843-846)."""
+    return bert_adam(lr, schedule="warmup_linear", warmup=warmup_frac,
+                     t_total=total_steps, grad_accum_steps=grad_accum_steps)
 
 
 def _batches(data: Dict[str, np.ndarray], batch: int, rng: np.random.RandomState):

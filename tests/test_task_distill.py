@@ -64,8 +64,10 @@ class TestTwoStageDistill:
     def test_pipeline_runs_and_learns(self):
         cfg = DistillConfig(
             task="sst-2", n_synthetic=256, max_seq_length=24, batch_size=16,
-            stage1_epochs=4, stage2_epochs=6, lr_stage1=1e-3, lr_stage2=3e-3,
-            teacher_epochs=8, teacher_lr=2e-3,
+            # lrs tuned for faithful BertAdam: its uncorrected moments give
+            # ~3x larger early steps than bias-corrected AdamW
+            stage1_epochs=4, stage2_epochs=6, lr_stage1=3e-4, lr_stage2=1e-3,
+            teacher_epochs=8, teacher_lr=1e-3,
             # dropout 0: at toy width-32 scale dropout 0.1 stalls learning
             bert=BertConfig(vocab_size=0, hidden_size=32, num_layers=2,
                             num_heads=2, intermediate_size=64,
