@@ -44,6 +44,13 @@ def parse_args(argv=None):
     p.add_argument("--smoothing", default=0.0, type=float)
     p.add_argument("--mixup", default=0.0, type=float)
     p.add_argument("--cutmix", default=0.0, type=float)
+    p.add_argument("--aa", default=None, type=str, metavar="rand-mN-mstdS",
+                   help="RandAugment policy string (timm syntax, e.g. "
+                        "rand-m9-mstd0.5; reference parse_args.py --aa)")
+    p.add_argument("--reprob", default=0.0, type=float,
+                   help="RandomErasing probability (reference --reprob)")
+    p.add_argument("--repeated-aug", default=0, type=int,
+                   help="repeated-augmentation views per image (RASampler)")
     # ADMM (parse_args.py:146-164)
     p.add_argument("--admm", action="store_true")
     p.add_argument("--rho", default=0.001, type=float)
@@ -89,6 +96,20 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _aa_magnitude(aa: str):
+    """Parse a timm-style RandAugment policy string ('rand-m9-mstd0.5')
+    into (magnitude, magnitude_std); None/'' disables (magnitude 0)."""
+    if not aa:
+        return 0.0, 0.5
+    m, mstd = 9.0, 0.5
+    for part in aa.split("-"):
+        if part.startswith("mstd"):
+            mstd = float(part[4:])
+        elif part.startswith("m") and part[1:].replace(".", "").isdigit():
+            m = float(part[1:])
+    return m, mstd
+
+
 def main(argv=None):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -124,6 +145,9 @@ def main(argv=None):
         min_lr=args.min_lr, decay_epochs=args.decay_epochs,
         decay_rate=args.decay_rate, clip_grad=args.clip_grad,
         smoothing=args.smoothing, mixup=args.mixup, cutmix=args.cutmix,
+        randaug_magnitude=_aa_magnitude(args.aa)[0],
+        randaug_std=_aa_magnitude(args.aa)[1],
+        erase_prob=args.reprob, repeated_aug=args.repeated_aug,
         admm=args.admm, rho=args.rho, fmt=args.fmt, ratio=args.ratio,
         tt_type=args.tt_type, admm_method=args.admm_method,
         orthogonal=args.orthogonal,

@@ -72,18 +72,23 @@ def normalize(x_u8, mean, std, dtype=jnp.float32):
 
 
 def augment_batch(x_u8, key, *, pad: int = 4, flip: bool = True,
-                  mean=(0.5,), std=(0.5,), dtype=jnp.float32):
+                  mean=(0.5,), std=(0.5,), dtype=jnp.float32,
+                  randaug_magnitude: float = 0.0, randaug_std: float = 0.5,
+                  erase_prob: float = 0.0):
     """Standard CIFAR recipe: zero-pad `pad` on the raw uint8 image,
     random crop back to size, random horizontal flip, then normalize
     (torchvision order: RandomCrop(32, 4) + RandomHorizontalFlip +
-    ToTensor + Normalize; reference datasets.py:142-239).
+    ToTensor + Normalize; reference datasets.py:142-239). With
+    `randaug_magnitude > 0` / `erase_prob > 0`, adds the timm-loader
+    recipe on top (RandAugment before normalize, RandomErasing after —
+    reference datasets.py:43-81).
 
     The crop is two *vectorized* gathers (`take_along_axis` over rows then
     columns) rather than a vmapped per-sample `dynamic_slice` — on TPU the
     latter lowers to B serialized slices and costs more than the model's
     entire forward+backward at CIFAR scale."""
     b, h, w, c = x_u8.shape
-    k_crop, k_flip = jax.random.split(key)
+    k_crop, k_flip, k_ra, k_re = jax.random.split(key, 4)
     xp = jnp.pad(x_u8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     offs = jax.random.randint(k_crop, (b, 2), 0, 2 * pad + 1)
     rows = offs[:, 0:1] + jnp.arange(h)[None, :]          # [B, h]
@@ -93,7 +98,18 @@ def augment_batch(x_u8, key, *, pad: int = 4, flip: bool = True,
     if flip:
         do = jax.random.bernoulli(k_flip, 0.5, (b,))
         x = jnp.where(do[:, None, None, None], x[:, :, ::-1, :], x)
-    return normalize(x, mean, std, dtype)
+    if randaug_magnitude > 0:
+        from .augment import rand_augment
+        xf = rand_augment(x.astype(jnp.float32) / 255.0, k_ra,
+                          magnitude=randaug_magnitude, mag_std=randaug_std)
+        out = ((xf - jnp.asarray(mean, jnp.float32))
+               / jnp.asarray(std, jnp.float32)).astype(dtype)
+    else:
+        out = normalize(x, mean, std, dtype)
+    if erase_prob > 0:
+        from .augment import random_erasing
+        out = random_erasing(out, k_re, prob=erase_prob)
+    return out
 
 
 def eval_batches(x: np.ndarray, y: np.ndarray, batch_size: int):

@@ -60,6 +60,9 @@ class TrainConfig:
     mixup: float = 0.0
     cutmix: float = 0.0
     repeated_aug: int = 0   # RASampler equivalent: views per image (0=off)
+    randaug_magnitude: float = 0.0  # timm --aa rand-mN (0=off)
+    randaug_std: float = 0.5        # -mstdS
+    erase_prob: float = 0.0         # timm --reprob
     # ADMM
     admm: bool = False
     rho: float = 0.001
@@ -119,7 +122,10 @@ def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
             xb, yb = sample_batch(images, labels, k_batch, cfg.batch_size)
         xb = constrain_batch(xb, mesh)
         yb = constrain_batch(yb, mesh)
-        x = augment_batch(xb, k_aug, mean=info.mean, std=info.std)
+        x = augment_batch(xb, k_aug, mean=info.mean, std=info.std,
+                          randaug_magnitude=cfg.randaug_magnitude,
+                          randaug_std=cfg.randaug_std,
+                          erase_prob=cfg.erase_prob)
         if mix_active:
             x, y_t = mixup_cutmix(x, yb, k_mix, num_classes=info.num_classes,
                                   mixup_alpha=cfg.mixup, cutmix_alpha=cfg.cutmix,
@@ -186,7 +192,10 @@ def make_streaming_step(model, cfg: TrainConfig, tx, info, program=None,
         rng, k_aug, k_mix, k_drop = jax.random.split(state.rng, 4)
         xb_u8 = constrain_batch(xb_u8, mesh)
         yb = constrain_batch(yb, mesh)
-        x = augment_batch(xb_u8, k_aug, mean=info.mean, std=info.std)
+        x = augment_batch(xb_u8, k_aug, mean=info.mean, std=info.std,
+                          randaug_magnitude=cfg.randaug_magnitude,
+                          randaug_std=cfg.randaug_std,
+                          erase_prob=cfg.erase_prob)
         if mix_active:
             x, y_t = mixup_cutmix(x, yb, k_mix, num_classes=info.num_classes,
                                   mixup_alpha=cfg.mixup, cutmix_alpha=cfg.cutmix,
