@@ -21,9 +21,15 @@ import time
 from functools import partial
 
 
-def measure(n_devices: int, batch_per_device: int = 64, steps: int = 8,
-            model: str = "resnet32") -> dict:
+def measure(n_devices: int, batch_per_device: int = 32, steps: int = 4,
+            model: str = "resnet20") -> dict:
     import jax
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(jax.devices())} "
+            f"({jax.default_backend()}); for a virtual CPU mesh run with "
+            "DCTA_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "(JAX_PLATFORMS alone is ignored by the axon TPU plugin)")
     import jax.numpy as jnp
     from ..admm import admm_init, admm_update, build_program
     from ..configs.resolver import get_rank_plan
@@ -40,7 +46,7 @@ def measure(n_devices: int, batch_per_device: int = 64, steps: int = 8,
         batch_size=batch_per_device * (n_devices // n_layer),
         epochs=2, steps_per_epoch=steps, lr=0.1, admm=True, fmt="tk",
         ratio="3", admm_method="subspace", compute_dtype=None,
-        synthetic_size=2048, eval_every=10**9, print_fn=lambda *a: None)
+        synthetic_size=1024, eval_every=10**9, print_fn=lambda *a: None)
     t0 = time.time()
     state, hist = train_model(cfg, mesh=mesh)
     per_epoch = hist[-1]["epoch_time_s"]  # epoch 2: compile amortized
@@ -51,6 +57,9 @@ def measure(n_devices: int, batch_per_device: int = 64, steps: int = 8,
 
 
 def main(argv=None):
+    if os.environ.get("DCTA_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["DCTA_PLATFORM"])
     ns = [int(a) for a in (argv or sys.argv[1:])] or [1, 2, 4, 8]
     results = [measure(n) for n in ns]
     base = results[0]

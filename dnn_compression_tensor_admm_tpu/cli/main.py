@@ -93,6 +93,9 @@ def parse_args(argv=None):
     p.add_argument("--export", default=None, type=str, metavar="PATH",
                    help="after loading/training, export the model as a "
                         "StableHLO artifact (the ONNX-exporter role)")
+    p.add_argument("--flops", action="store_true",
+                   help="print FLOPs/params accounting for the model "
+                        "(reference forward_flops / compute_flops_params)")
     return p.parse_args(argv)
 
 
@@ -167,6 +170,32 @@ def main(argv=None):
     info = dataset_info(args.dataset)
     num_classes = args.num_classes or info.num_classes
     dtype = None if args.fp32 else jnp.bfloat16
+
+    if args.flops:
+        # analytic + measured cost report (reference prints per-layer
+        # forward_flops in every model's __main__, TTConv.py:155-195)
+        from ..utils.flops import model_flops_params
+        kw = {"ratio": args.ratio, "tt_type": args.tt_type} if compressed else {}
+        model = create_model(args.model, num_classes=num_classes, **kw)
+        sz = info.input_size
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, sz, sz, len(info.mean))),
+                               train=False)
+        rep = model_flops_params(model, variables,
+                                 (1, sz, sz, len(info.mean)))
+        if compressed is not None:
+            base, fmt, _ = compressed
+            dense = create_model(base, num_classes=num_classes)
+            dvars = dense.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, sz, sz, len(info.mean))),
+                               train=False)
+            drep = model_flops_params(dense, dvars, (1, sz, sz, len(info.mean)))
+            rep["dense_params"] = drep["params"]
+            rep["dense_flops"] = drep["flops"]
+            rep["param_ratio"] = drep["params"] / rep["params"]
+            rep["flop_ratio"] = drep["flops"] / rep["flops"]
+        print(json.dumps(rep))
+        return
 
     init_variables = None
     if args.decompose:
