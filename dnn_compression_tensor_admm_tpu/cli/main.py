@@ -119,11 +119,16 @@ def main(argv=None):
                               os.path.abspath(__file__)))), ".jax_cache"))
     args = parse_args(argv)
 
+    import jax
     if os.environ.get("DCTA_PLATFORM"):
         # The axon TPU plugin ignores JAX_PLATFORMS; this honors an explicit
         # platform request (e.g. DCTA_PLATFORM=cpu for CI/debug runs).
-        import jax
         jax.config.update("jax_platforms", os.environ["DCTA_PLATFORM"])
+    # env-var cache config does not reliably initialize the persistent
+    # cache under the axon plugin; the explicit config route does
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from ..configs.resolver import get_rank_plan, strip_format_prefix
     from ..data.datasets import dataset_info, load_dataset
