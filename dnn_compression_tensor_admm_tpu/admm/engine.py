@@ -311,7 +311,9 @@ def admm_penalty(params, state: AdmmState, program: ProjectionProgram,
     into one multiply_reduce fusion — differentiating this in-loss is
     the FASTEST schedule tried (304 it/s). Both a concatenated
     single-reduction form (278) and the analytic-gradient fold
-    `admm_grad_add` (290) measured slower; they break that fusion."""
+    `admm_grad_add` (290) measured slower; they break that fusion. A
+    per-bucket stacked form (stack W/Z/U per shape group, one reduction
+    per group) also measured no better than this per-layer loop."""
     total = 0.0
     for name, path in program.paths.items():
         w = _get(params, path)

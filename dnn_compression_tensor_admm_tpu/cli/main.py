@@ -51,6 +51,10 @@ def parse_args(argv=None):
                    help="RandomErasing probability (reference --reprob)")
     p.add_argument("--repeated-aug", default=0, type=int,
                    help="repeated-augmentation views per image (RASampler)")
+    p.add_argument("--sampling", default="shuffle",
+                   choices=["shuffle", "replacement"],
+                   help="per-epoch shuffled batches (reference DataLoader "
+                        "semantics) or per-step with-replacement sampling")
     # ADMM (parse_args.py:146-164)
     p.add_argument("--admm", action="store_true")
     p.add_argument("--rho", default=0.001, type=float)
@@ -156,6 +160,7 @@ def main(argv=None):
         randaug_magnitude=_aa_magnitude(args.aa)[0],
         randaug_std=_aa_magnitude(args.aa)[1],
         erase_prob=args.reprob, repeated_aug=args.repeated_aug,
+        sampling=args.sampling,
         admm=args.admm, rho=args.rho, fmt=args.fmt, ratio=args.ratio,
         tt_type=args.tt_type, admm_method=args.admm_method,
         orthogonal=args.orthogonal,

@@ -27,8 +27,9 @@ from ..admm.regularizers import orthogonal_penalty
 from ..configs.resolver import get_rank_plan
 from ..data.augment import mixup_cutmix
 from ..data.datasets import load_dataset
-from ..data.device_pipeline import (augment_batch, eval_batches, sample_batch,
-                                    sample_batch_repeated)
+from ..data.device_pipeline import (augment_batch, batch_at, batch_at_repeated,
+                                    eval_batches, sample_batch,
+                                    sample_batch_repeated, shuffle_epoch)
 from ..models import create_model
 from .losses import cross_entropy, distillation_loss, soft_target_cross_entropy
 from .optim import make_optimizer, make_schedule
@@ -80,6 +81,8 @@ class TrainConfig:
     teacher_model: Optional[str] = None
     teacher_variables: Any = None
     # misc
+    sampling: str = "shuffle"    # 'shuffle' (per-epoch perm, contiguous batches)
+                                 # | 'replacement' (per-step uniform gather)
     verbose_admm: bool = False   # per-layer ||W-Z|| logging (reference --verbose)
     profile_dir: Optional[str] = None  # write a jax.profiler trace of epoch 1
     ema_decay: float = 0.0
@@ -111,15 +114,25 @@ def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
     from ..parallel.mesh import constrain_batch
     mix_active = cfg.mixup > 0 or cfg.cutmix > 0
     criterion = _criterion(cfg)
-    has_bn = True
+    # epoch-shuffle sampling needs n >= batch; tiny (test) datasets fall
+    # back to per-step with-replacement gathers
+    shuffled = (cfg.sampling == "shuffle"
+                and images.shape[0] >= cfg.batch_size)
 
-    def one_step(state: TrainState, rho):
+    def one_step(state: TrainState, rho, step_images, step_labels, i):
         rng, k_batch, k_aug, k_mix, k_drop = jax.random.split(state.rng, 5)
-        if cfg.repeated_aug > 1:
-            xb, yb = sample_batch_repeated(images, labels, k_batch,
+        if shuffled:
+            if cfg.repeated_aug > 1:
+                xb, yb = batch_at_repeated(step_images, step_labels, i,
+                                           cfg.batch_size, cfg.repeated_aug)
+            else:
+                xb, yb = batch_at(step_images, step_labels, i, cfg.batch_size)
+        elif cfg.repeated_aug > 1:
+            xb, yb = sample_batch_repeated(step_images, step_labels, k_batch,
                                            cfg.batch_size, cfg.repeated_aug)
         else:
-            xb, yb = sample_batch(images, labels, k_batch, cfg.batch_size)
+            xb, yb = sample_batch(step_images, step_labels, k_batch,
+                                  cfg.batch_size)
         xb = constrain_batch(xb, mesh)
         yb = constrain_batch(yb, mesh)
         x = augment_batch(xb, k_aug, mean=info.mean, std=info.std,
@@ -171,9 +184,16 @@ def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
 
     @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
     def run_steps(state: TrainState, rho, num_steps: int):
-        def body(s, _):
-            return one_step(s, rho)
-        state, metrics = jax.lax.scan(body, state, None, length=num_steps)
+        if shuffled:
+            k_shuf, rng = jax.random.split(state.rng)
+            state = state.replace(rng=rng)
+            step_images, step_labels = shuffle_epoch(images, labels, k_shuf)
+        else:
+            step_images, step_labels = images, labels
+
+        def body(s, i):
+            return one_step(s, rho, step_images, step_labels, i)
+        state, metrics = jax.lax.scan(body, state, jnp.arange(num_steps))
         return state, jax.tree.map(jnp.mean, metrics)
 
     return run_steps
@@ -275,15 +295,16 @@ def evaluate_model(model, variables, x_np, y_np, info, batch_size=512,
 def eval_runtime(model, variables, info, batch_size=256, iters=50, warmup=5):
     """Per-image latency benchmark (reference eval_runtime,
     engines.py:79-107): report ms/image over repeated timed sweeps."""
+    from ..utils.profiling import device_sync
     x = jnp.zeros((batch_size, info.input_size, info.input_size, len(info.mean)))
     f = jax.jit(lambda v, x: model.apply(v, x, train=False))
-    f(variables, x).block_until_ready()
-    for _ in range(warmup):
-        f(variables, x).block_until_ready()
+    for _ in range(warmup + 1):
+        y = f(variables, x)
+    device_sync(y)  # block_until_ready is unreliable under axon; force a fetch
     t0 = time.perf_counter()
     for _ in range(iters):
         y = f(variables, x)
-    y.block_until_ready()
+    device_sync(y)
     dt = time.perf_counter() - t0
     return {"ms_per_image": 1000.0 * dt / (iters * batch_size),
             "images_per_s": iters * batch_size / dt}
@@ -410,7 +431,12 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         if cfg.admm:
             with timer.phase("z_step"):
                 new_admm, residuals = zu_step(state.params, state.admm)  # engines.py:270-271
-                jax.block_until_ready(new_admm.z)
+                if cfg.verbose_admm or cfg.profile_dir:
+                    # an accurate phase split needs a real device barrier
+                    # (block_until_ready is a no-op under axon); it costs a
+                    # host round-trip, so only pay it when asked to observe
+                    from ..utils.profiling import device_sync
+                    device_sync(new_admm.z)
             state = state.replace(admm=new_admm)
             if cfg.verbose_admm:
                 # reference --verbose: per-layer norm(w-z) (admm.py:77-78)
