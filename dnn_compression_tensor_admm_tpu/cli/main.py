@@ -97,6 +97,9 @@ def parse_args(argv=None):
     p.add_argument("--export", default=None, type=str, metavar="PATH",
                    help="after loading/training, export the model as a "
                         "StableHLO artifact (the ONNX-exporter role)")
+    p.add_argument("--layer-shards", default=1, type=int,
+                   help="devices along the mesh 'layer' axis (ADMM Z-step "
+                        "layer sharding); the rest go to 'data'")
     p.add_argument("--flops", action="store_true",
                    help="print FLOPs/params accounting for the model "
                         "(reference forward_flops / compute_flops_params)")
@@ -250,12 +253,26 @@ def main(argv=None):
             print(json.dumps(r))
         return
 
+    # multi-host rendezvous (no-op single-process; reference main.py:100)
+    # and the default data(+layer) mesh when more than one device is visible
+    from ..parallel.dist import init_distributed, is_main_process
+    from ..parallel.mesh import make_mesh
+    topo = init_distributed()
+    mesh = None
+    if topo["global_devices"] > 1:
+        n_layer = min(args.layer_shards, topo["global_devices"])
+        mesh = make_mesh(n_layer=n_layer)
+        if is_main_process():
+            print(json.dumps({"mesh": {"data": mesh.shape["data"],
+                                       "layer": mesh.shape["layer"]},
+                              **topo}))
+
     ts = time.strftime("%m%d-%H%M%S")
     tag = f"{args.model}_{args.dataset}" + ("_admm_" + args.fmt if args.admm else "")
     if args.save_log:
         os.makedirs(args.output_dir, exist_ok=True)
         cfg.log_path = os.path.join(args.output_dir, f"{tag}_{ts}.log")
-    state, history = train_model(cfg, init_variables=init_variables)
+    state, history = train_model(cfg, init_variables=init_variables, mesh=mesh)
     if args.save_model:
         os.makedirs(args.output_dir, exist_ok=True)
         path = os.path.join(args.output_dir, f"{tag}_{ts}_model.msgpack")
