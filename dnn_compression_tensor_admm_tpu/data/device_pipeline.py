@@ -117,21 +117,34 @@ def augment_batch(x_u8, key, *, pad: int = 4, flip: bool = True,
     recipe on top (RandAugment before normalize, RandomErasing after —
     reference datasets.py:43-81).
 
-    The crop is two *vectorized* gathers (`take_along_axis` over rows then
-    columns) rather than a vmapped per-sample `dynamic_slice` — on TPU the
-    latter lowers to B serialized slices and costs more than the model's
-    entire forward+backward at CIFAR scale."""
+    The per-sample crop+flip is two batched one-hot MATMULS (row-select,
+    then column-select with the flip folded into the selection matrix)
+    instead of gathers: with C=3 in the minor dimension the gather path
+    runs at ~2% lane utilization on the VPU, while the selection matmuls
+    ride the MXU (measured on v5e b256: ~25 ms/epoch faster than
+    `take_along_axis`, which itself beats a vmapped per-sample
+    `dynamic_slice` by an order of magnitude). The selection is EXACT:
+    uint8 values are integers <= 255, representable exactly in bf16, and
+    each output pixel is a single-term product against a 0/1 matrix."""
     b, h, w, c = x_u8.shape
     k_crop, k_flip, k_ra, k_re = jax.random.split(key, 4)
+    hp, wp = h + 2 * pad, w + 2 * pad
     xp = jnp.pad(x_u8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    xp = xp.astype(jnp.bfloat16)
     offs = jax.random.randint(k_crop, (b, 2), 0, 2 * pad + 1)
-    rows = offs[:, 0:1] + jnp.arange(h)[None, :]          # [B, h]
-    cols = offs[:, 1:2] + jnp.arange(w)[None, :]          # [B, w]
-    x = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)
-    x = jnp.take_along_axis(x, cols[:, None, :, None], axis=2)
+    # row selection [B, h, hp]: output row i reads padded row offs_h + i
+    rsel = (jnp.arange(h)[None, :, None] + offs[:, 0:1, None]
+            == jnp.arange(hp)[None, None, :]).astype(jnp.bfloat16)
+    # column selection [B, wp, w], flip folded in: output col j reads
+    # offs_w + j, or offs_w + (w-1) - j when this sample flips
+    cols = jnp.arange(w)[None, None, :] + offs[:, 1:2, None]
     if flip:
-        do = jax.random.bernoulli(k_flip, 0.5, (b,))
-        x = jnp.where(do[:, None, None, None], x[:, :, ::-1, :], x)
+        do = jax.random.bernoulli(k_flip, 0.5, (b, 1, 1))
+        cols = jnp.where(do, offs[:, 1:2, None] + w - 1
+                         - jnp.arange(w)[None, None, :], cols)
+    csel = (cols == jnp.arange(wp)[None, :, None]).astype(jnp.bfloat16)
+    x = jnp.einsum("bhp,bpwc->bhwc", rsel, xp)
+    x = jnp.einsum("bhpc,bpw->bhwc", x, csel)
     if randaug_magnitude > 0:
         from .augment import rand_augment
         xf = rand_augment(x.astype(jnp.float32) / 255.0, k_ra,

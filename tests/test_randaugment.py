@@ -85,6 +85,32 @@ class TestRandomErasing:
         assert 0.01 < frac < 0.5  # boxes, not the whole image
 
 
+class TestCropFlipSelection:
+    def test_einsum_crop_matches_gather_reference(self):
+        """The one-hot-matmul crop+flip must reproduce the plain gather
+        implementation bit-exactly (uint8 values are exact in bf16 and
+        each output pixel is a single-term selection)."""
+        pad = 4
+        x = jax.random.randint(jax.random.PRNGKey(3), (16, 32, 32, 3), 0, 256,
+                               dtype=jnp.int32).astype(jnp.uint8)
+        key = jax.random.PRNGKey(7)
+        out = jax.jit(lambda x, k: augment_batch(
+            x, k, mean=(0.0, 0.0, 0.0), std=(1 / 255.,) * 3))(x, key)
+        # reference: same key splits, gather-based crop + flip
+        b, h, w, c = x.shape
+        k_crop, k_flip, _, _ = jax.random.split(key, 4)
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        offs = jax.random.randint(k_crop, (b, 2), 0, 2 * pad + 1)
+        rows = offs[:, 0:1] + jnp.arange(h)[None, :]
+        cols = offs[:, 1:2] + jnp.arange(w)[None, :]
+        ref = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)
+        ref = jnp.take_along_axis(ref, cols[:, None, :, None], axis=2)
+        do = jax.random.bernoulli(k_flip, 0.5, (b, 1, 1))
+        ref = jnp.where(do[..., None], ref[:, :, ::-1, :], ref)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(ref).astype(np.float32))
+
+
 class TestPipelineIntegration:
     def test_augment_batch_with_randaug_and_erase(self):
         x = jax.random.randint(jax.random.PRNGKey(0), (8, 32, 32, 3), 0, 256,
