@@ -100,6 +100,14 @@ def parse_args(argv=None):
     p.add_argument("--layer-shards", default=1, type=int,
                    help="devices along the mesh 'layer' axis (ADMM Z-step "
                         "layer sharding); the rest go to 'data'")
+    p.add_argument("--shard-dir", default=None, type=str,
+                   help="directory of DCTA record shards (train-*.dcta / "
+                        "val-*.dcta) streamed by the native C++ loader — "
+                        "the ImageNet-scale input path (reference "
+                        "datasets.py:142-239); build shards with "
+                        "tools/imagefolder_to_dcta.py")
+    p.add_argument("--loader-workers", default=4, type=int,
+                   help="decode threads for the native shard loader")
     p.add_argument("--flops", action="store_true",
                    help="print FLOPs/params accounting for the model "
                         "(reference forward_flops / compute_flops_params)")
@@ -141,10 +149,16 @@ def main(argv=None):
     from ..data.datasets import dataset_info, load_dataset
     from ..models import create_model, decompose_params, compression_ratio
     from ..models.registry import parse_compressed_name
+    from ..parallel.dist import init_distributed, is_main_process
     from ..train import TrainConfig, train_model, evaluate_model, eval_runtime
     from ..utils import save_variables, load_variables
     import jax
     import jax.numpy as jnp
+
+    # multi-host rendezvous FIRST: jax.distributed.initialize must run
+    # before any JAX computation (teacher/checkpoint loading below touches
+    # device arrays); single-process it is a no-op (reference main.py:100)
+    topo = init_distributed()
 
     compressed = parse_compressed_name(args.model)
     if args.admm and compressed is not None:
@@ -178,6 +192,7 @@ def main(argv=None):
         verbose_admm=args.verbose, profile_dir=args.profile_dir,
         compute_dtype=None if args.fp32 else "bfloat16",
         synthetic_size=args.synthetic_size, eval_every=args.eval_every,
+        shard_dir=args.shard_dir, loader_workers=args.loader_workers,
     )
 
     info = dataset_info(args.dataset)
@@ -253,14 +268,17 @@ def main(argv=None):
             print(json.dumps(r))
         return
 
-    # multi-host rendezvous (no-op single-process; reference main.py:100)
-    # and the default data(+layer) mesh when more than one device is visible
-    from ..parallel.dist import init_distributed, is_main_process
+    # default data(+layer) mesh when more than one device is visible
     from ..parallel.mesh import make_mesh
-    topo = init_distributed()
     mesh = None
     if topo["global_devices"] > 1:
         n_layer = min(args.layer_shards, topo["global_devices"])
+        if topo["global_devices"] % n_layer != 0:
+            # make_mesh would silently truncate to n_data*n_layer devices
+            # and idle the rest — reject instead
+            raise SystemExit(
+                f"ERROR: --layer-shards {n_layer} does not divide the "
+                f"{topo['global_devices']} global devices; pick a divisor")
         mesh = make_mesh(n_layer=n_layer)
         if is_main_process():
             print(json.dumps({"mesh": {"data": mesh.shape["data"],

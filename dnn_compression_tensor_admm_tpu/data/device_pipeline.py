@@ -80,9 +80,13 @@ def shuffle_epoch(ds_images, ds_labels, key):
 
 
 def batch_at(ds_images, ds_labels, step, batch_size: int):
-    """Contiguous batch `step` from a shuffled dataset copy, wrapping at the
-    tail (the few wrapped rows re-read the epoch's first images, mirroring
-    the reference loader's non-dropped last partial batch)."""
+    """Contiguous batch `step` from a shuffled dataset copy.
+
+    With the default steps_per_epoch = n // batch the last `n mod batch`
+    shuffled rows are not visited that epoch — drop_last semantics (a
+    different tail is dropped each epoch since the permutation is
+    re-drawn). If a caller runs more steps than that, the start offset
+    wraps modulo (n - batch + 1) and re-reads mid-dataset rows."""
     n = ds_images.shape[0]
     start = (step * batch_size) % max(n - batch_size + 1, 1)
     return (jax.lax.dynamic_slice_in_dim(ds_images, start, batch_size, axis=0),

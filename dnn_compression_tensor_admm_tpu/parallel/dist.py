@@ -48,7 +48,57 @@ def all_reduce_metrics(metrics: dict, mesh=None) -> dict:
     host-side aggregation of per-process numpy scalars."""
     if jax.process_count() == 1:
         return metrics
+    return gather_mean_metrics(metrics)
+
+
+def gather_mean_metrics(metrics: dict) -> dict:
+    """Cross-process mean via `process_allgather` (works single-process
+    too: the gather axis then has length 1). Split out of
+    `all_reduce_metrics` so the gather path is testable without a real
+    multi-host launch."""
+    from jax.experimental import multihost_utils
     vals = jnp.asarray([float(metrics[k]) for k in sorted(metrics)])
-    summed = jax.experimental.multihost_utils.process_allgather(vals)
-    mean = np.mean(np.asarray(summed), axis=0)
+    gathered = np.asarray(multihost_utils.process_allgather(vals))
+    if gathered.ndim == 1:  # single-process allgather returns the row itself
+        gathered = gathered[None]
+    mean = gathered.mean(axis=0)
     return {k: float(mean[i]) for i, k in enumerate(sorted(metrics))}
+
+
+def shard_dataset_global(x: np.ndarray, y: np.ndarray, mesh) -> tuple:
+    """Build globally-sharded dataset arrays over the mesh 'data' axis.
+
+    The reference gives each DDP rank a DistributedSampler slice of one
+    shared dataset (datasets.py:87-100). Here the HBM-resident dataset is
+    a single global array sharded over 'data': every process passes its
+    contiguous per-process slice and `jax.make_array_from_process_local_data`
+    assembles the global view (rows not divisible by the shard count are
+    dropped, like drop_last). Under a single process this is equivalent to
+    a sharded device_put, so it is exercised by the virtual-mesh tests.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n_data = mesh.shape["data"]
+    n = (x.shape[0] // n_data) * n_data
+    x, y = x[:n], y[:n]
+    pc, pi = jax.process_count(), jax.process_index()
+    sx = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+    sy = NamedSharding(mesh, P("data"))
+    per = n // pc
+    lo, hi = pi * per, (pi + 1) * per
+    gx = jax.make_array_from_process_local_data(sx, np.ascontiguousarray(x[lo:hi]),
+                                                global_shape=x.shape)
+    gy = jax.make_array_from_process_local_data(sy, np.ascontiguousarray(y[lo:hi]),
+                                                global_shape=y.shape)
+    return gx, gy
+
+
+def replicate_state_global(state, mesh):
+    """Turn identical process-local TrainState arrays into replicated
+    global arrays over `mesh`, so a jitted step over a multi-process mesh
+    accepts them (jit over non-addressable devices rejects process-local
+    inputs). Single-process it is a replicated device_put (testable on
+    the virtual mesh)."""
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+    specs = jax.tree.map(lambda _: P(), state)
+    return multihost_utils.host_local_array_to_global_array(state, mesh, specs)

@@ -367,6 +367,15 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                               batch_stats=init_variables.get("batch_stats",
                                                              state.batch_stats))
 
+    # Multi-process: jit over a mesh with non-addressable devices rejects
+    # process-local inputs, so the (identically-seeded) state becomes one
+    # replicated global array per leaf before any sharded computation runs
+    # (the reference replicates via DDP broadcast, engines.py:154).
+    multi_process = mesh is not None and jax.process_count() > 1
+    if multi_process:
+        from ..parallel.dist import replicate_state_global
+        state = replicate_state_global(state, mesh)
+
     program = None
     if cfg.admm:
         plan = get_rank_plan(cfg.model, cfg.fmt, cfg.ratio, cfg.tt_type)
@@ -405,8 +414,15 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         stream_iter = iter(loader)
         run_steps = None
     else:
-        images = jnp.asarray(x_tr)
-        labels = jnp.asarray(y_tr)
+        if multi_process:
+            # each process contributes its slice of one globally-sharded
+            # HBM-resident dataset (DistributedSampler role, datasets.py:87-100)
+            from ..parallel.dist import shard_dataset_global
+            images, labels = shard_dataset_global(np.asarray(x_tr),
+                                                  np.asarray(y_tr), mesh)
+        else:
+            images = jnp.asarray(x_tr)
+            labels = jnp.asarray(y_tr)
         run_steps = make_train_step(model, cfg, tx, images, labels, info_nc,
                                     program=program, teacher=teacher,
                                     teacher_vars=teacher_vars, mesh=mesh)
@@ -431,12 +447,12 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         if cfg.admm:
             with timer.phase("z_step"):
                 new_admm, residuals = zu_step(state.params, state.admm)  # engines.py:270-271
-                if cfg.verbose_admm or cfg.profile_dir:
-                    # an accurate phase split needs a real device barrier
-                    # (block_until_ready is a no-op under axon); it costs a
-                    # host round-trip, so only pay it when asked to observe
-                    from ..utils.profiling import device_sync
-                    device_sync(new_admm.z)
+                # real device barrier so the z/x phase split is meaningful
+                # (block_until_ready returns early under axon); fetching
+                # the scalar residuals costs ~one small host round-trip
+                # per epoch
+                from ..utils.profiling import device_sync
+                device_sync(residuals)
             state = state.replace(admm=new_admm)
             if cfg.verbose_admm:
                 # reference --verbose: per-layer norm(w-z) (admm.py:77-78)
@@ -458,7 +474,12 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         else:
             with timer.phase("x_step_scan"):
                 state, metrics = run_steps(state, rho, steps)
-                metrics = jax.block_until_ready(metrics)
+                # device_sync (a host fetch) is the only reliable barrier
+                # under axon — block_until_ready returns early there — and
+                # the fetched scalars are consumed right below, so the one
+                # round-trip per epoch is free
+                from ..utils.profiling import device_sync
+                device_sync(metrics)
         if prof_ctx is not None:
             prof_ctx.__exit__(None, None, None)
         train_loss = float(metrics["loss"])
@@ -472,6 +493,13 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
             ev = evaluate_model(model, state.variables(), x_va, y_va, info,
                                 eval_step=eval_step)
             row.update({f"test_{k}": v for k, v in ev.items()})
+            if cfg.ema_decay > 0:
+                # the EMA shadow exists to be *evaluated* (reference
+                # model_ema, engines.py:143-150,349) — report it alongside
+                # the raw params every eval epoch
+                ev_ema = evaluate_model(model, state.variables(use_ema=True),
+                                        x_va, y_va, info, eval_step=eval_step)
+                row.update({f"ema_{k}": v for k, v in ev_ema.items()})
         history.append(row)
         log(json.dumps(row))
         if cfg.checkpoint_dir:

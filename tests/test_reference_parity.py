@@ -1,0 +1,155 @@
+"""Golden numeric cross-validation against the reference implementation.
+
+The reference's TT-SVD (`/root/reference/ttd.py:10-43`) and SVD
+projection (`/root/reference/admm.py:129-149`) are pure NumPy, so they
+run here as *oracles* (imported at test time, never shipped): this pins
+the repo's on-device `tt_project` / `svd_project` to the exact numerics
+the published 93.4%/69.6% results were trained with (SURVEY.md §7
+"matching reference numerics"). Real layer shapes come from the rank
+plans. Tucker-2 has no oracle in this env (tensorly absent) and is
+self-validated in test_ops.py.
+
+Comparisons run in float64: singular-vector signs differ freely between
+implementations, but the rank-r *projection* u @ u.T @ a is unique
+whenever there is any spectral gap at the truncation point (generic for
+random matrices), so reconstructions must agree to fp tolerance.
+"""
+
+import importlib.util
+import math
+
+import numpy as np
+import pytest
+
+REF_TTD = "/root/reference/ttd.py"
+
+
+@pytest.fixture(scope="module")
+def ref_ttd():
+    spec = importlib.util.spec_from_file_location("ref_ttd", REF_TTD)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def x64():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+def _tt_conv_specs(model, ratio, tt_type):
+    from dnn_compression_tensor_admm_tpu.configs.hp import TTConvSpec
+    from dnn_compression_tensor_admm_tpu.configs.resolver import get_rank_plan
+    plan = get_rank_plan(model, "tt", ratio, tt_type)
+    out = [(n, s) for n, s in plan.layers.items() if isinstance(s, TTConvSpec)]
+    assert out, f"no TT conv specs in plan {model}/{ratio}/{tt_type}"
+    return out
+
+
+def _ref_prune_conv_tt(ref_ttd, w_oihw, spec):
+    """Reference ADMM.prune_conv_rank_tt (admm.py:91-101): OIHW ->
+    [O, kh*kw, I] -> ten2tt -> tt2ten -> OIHW. ten2tt mutates the rank
+    list in place (ttd.py:18-19), so pass a copy."""
+    o, i, kh, kw = w_oihw.shape
+    t = np.transpose(w_oihw.reshape(o, i, kh * kw), (0, 2, 1))
+    cores = ref_ttd.ten2tt(t, list(spec.tt_shapes), list(spec.tt_ranks))
+    z = ref_ttd.tt2ten(cores, (o, kh * kw, i))
+    return np.transpose(z, (0, 2, 1)).reshape(w_oihw.shape)
+
+
+class TestTTConvProjectionParity:
+    @pytest.mark.parametrize("model,ratio,tt_type", [
+        ("resnet32", "3", "general"),
+        ("resnet18", "2.65", "special"),
+    ])
+    def test_matches_reference_on_plan_shapes(self, ref_ttd, x64, model,
+                                              ratio, tt_type):
+        from dnn_compression_tensor_admm_tpu.admm.engine import _project_one
+        rng = np.random.RandomState(0)
+        # distinct unfolding signatures only (same-shape layers share numerics)
+        seen, cases = set(), []
+        for name, spec in _tt_conv_specs(model, ratio, tt_type):
+            key = (spec.tt_shapes, spec.tt_ranks)
+            if key not in seen:
+                seen.add(key)
+                cases.append((name, spec))
+        for name, spec in cases[:6]:
+            o, i = spec.out_channels, spec.in_channels
+            k = int(math.isqrt(spec.filter_dim))
+            assert k * k == spec.filter_dim
+            w_oihw = rng.randn(o, i, k, k)
+            want = _ref_prune_conv_tt(ref_ttd, w_oihw, spec)
+            w_hwio = np.transpose(w_oihw, (2, 3, 1, 0))
+            got = np.asarray(_project_one("tt_conv", spec,
+                                          np.asarray(w_hwio),
+                                          method="svd", n_iter=10))
+            got_oihw = np.transpose(got, (3, 2, 0, 1))
+            np.testing.assert_allclose(got_oihw, want, atol=1e-6,
+                                       err_msg=f"{model} {name}")
+
+    def test_rank_clamp_matches_reference_runtime_clamp(self, ref_ttd):
+        # the reference clamps ranks at runtime against the spectrum length
+        # (ttd.py:18-19); the repo clamps statically — they must agree,
+        # since s.shape[0] = min(rows, cols) is data-independent
+        from dnn_compression_tensor_admm_tpu.ops.ttd import clamp_tt_ranks
+        shapes = [16, 9, 16]
+        ranks = [1, 40, 40, 1]  # deliberately infeasible middle ranks
+        x = np.random.RandomState(1).randn(*shapes)
+        ref_ranks = list(ranks)
+        ref_ttd.ten2tt(x, shapes, ref_ranks)  # mutates ref_ranks
+        assert clamp_tt_ranks(shapes, ranks) == ref_ranks
+
+
+class TestTTLinearProjectionParity:
+    def test_matches_reference_on_vit_plan_shapes(self, ref_ttd, x64):
+        from dnn_compression_tensor_admm_tpu.admm.engine import _project_one
+        from dnn_compression_tensor_admm_tpu.configs.hp import TTLinearSpec
+        from dnn_compression_tensor_admm_tpu.configs.resolver import get_rank_plan
+        plan = get_rank_plan("deit_tiny_patch16_224", "tt", "3")
+        specs = [(n, s) for n, s in plan.layers.items()
+                 if isinstance(s, TTLinearSpec)]
+        assert specs, "deit plan has no TT linear specs"
+        rng = np.random.RandomState(2)
+        seen = set()
+        for name, spec in specs:
+            key = (spec.tt_shapes, spec.tt_ranks)
+            if key in seen:
+                continue
+            seen.add(key)
+            if len(seen) > 4:
+                break
+            out_f, in_f = spec.out_features, spec.in_features
+            w = rng.randn(out_f, in_f)  # reference torch layout [out, in]
+            # reference prune_linear_rank_tt (admm.py:103-111)
+            cores = ref_ttd.ten2tt(w.reshape(spec.tt_shapes),
+                                   list(spec.tt_shapes), list(spec.tt_ranks))
+            want = ref_ttd.tt2ten(cores, w.shape)
+            # repo stores flax Dense [in, out]
+            got = np.asarray(_project_one("tt_linear", spec,
+                                          np.asarray(w.T),
+                                          method="svd", n_iter=10)).T
+            np.testing.assert_allclose(got, want, atol=1e-6, err_msg=name)
+
+
+class TestSVDProjectionParity:
+    def test_matches_numpy_truncated_svd(self, x64):
+        # reference prune_*_rank_svd (admm.py:129-149): plain Eckart-Young
+        from dnn_compression_tensor_admm_tpu.ops.svd import svd_project
+        rng = np.random.RandomState(3)
+        for (m, n, r) in [(160, 960, 48), (96, 576, 29), (64, 64, 16)]:
+            a = rng.randn(m, n)
+            u, s, v = np.linalg.svd(a, full_matrices=False)
+            want = u[:, :r] @ np.diag(s[:r]) @ v[:r, :]
+            got = np.asarray(svd_project(np.asarray(a), r))
+            np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_projection_idempotent_and_rank_bounded(self, x64):
+        from dnn_compression_tensor_admm_tpu.ops.svd import svd_project
+        a = np.random.RandomState(4).randn(80, 120)
+        z = np.asarray(svd_project(np.asarray(a), 13))
+        assert np.linalg.matrix_rank(z, tol=1e-8) <= 13
+        z2 = np.asarray(svd_project(np.asarray(z), 13))
+        np.testing.assert_allclose(z2, z, atol=1e-8)

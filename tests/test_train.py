@@ -89,6 +89,18 @@ class TestTrainLoop:
                          batch_size=16, iters=3, warmup=1)
         assert r["ms_per_image"] > 0
 
+    def test_ema_evaluated_and_reported(self):
+        # the EMA shadow must be consumed at eval, not just tracked
+        # (reference model_ema, engines.py:143-150,349)
+        cfg = _base_cfg(ema_decay=0.5, epochs=1, steps_per_epoch=4,
+                        eval_every=1, lr=0.2)
+        state, hist = train_model(cfg)
+        assert "ema_acc1" in hist[-1] and np.isfinite(hist[-1]["ema_acc1"])
+        # after 4 high-lr steps at decay 0.5 the shadow genuinely differs
+        p = jax.tree.leaves(state.params)[0]
+        e = jax.tree.leaves(state.ema_params)[0]
+        assert not np.allclose(np.asarray(p), np.asarray(e))
+
     def test_stiefel_model_trains(self):
         cfg = _base_cfg(model="stftkc_resnet32", ratio="3", epochs=1,
                         steps_per_epoch=3, batch_size=32, opt="momentum")
