@@ -89,8 +89,10 @@ def prepare_task_data(cfg: DistillConfig):
         texts = [e.text_a for e in train_ex] + \
                 [e.text_b for e in train_ex if e.text_b]
         tok = WordPieceTokenizer(build_vocab_from_texts(texts))
-    train = convert_examples(train_ex, tok, cfg.max_seq_length, proc.labels)
-    dev = convert_examples(dev_ex, tok, cfg.max_seq_length, proc.labels)
+    train = convert_examples(train_ex, tok, cfg.max_seq_length, proc.labels,
+                             regression=proc.regression)
+    dev = convert_examples(dev_ex, tok, cfg.max_seq_length, proc.labels,
+                           regression=proc.regression)
     return train, dev, tok, proc
 
 
@@ -102,7 +104,10 @@ def run_task_distillation(cfg: DistillConfig, teacher_variables=None):
     train, dev, tok, proc = prepare_task_data(cfg)
     vocab_size = max(len(tok.vocab), int(train["input_ids"].max()) + 1)
     bert_cfg = dataclasses.replace(cfg.bert, vocab_size=vocab_size)
-    n_labels = len(proc.labels)
+    # regression (STS-B): 1-logit head, MSE against the float label
+    # (reference task_distill.py:628-632, 835-837)
+    regression = proc.regression
+    n_labels = 1 if regression else len(proc.labels)
 
     teacher = BertForSequenceClassification(bert_cfg, num_labels=n_labels)
     student = BertForSequenceClassification(bert_cfg, num_labels=n_labels,
@@ -132,6 +137,9 @@ def run_task_distillation(cfg: DistillConfig, teacher_variables=None):
             def loss_fn(p):
                 out = t_apply({"params": p}, b, det=False,
                               rngs={"dropout": key})
+                if regression:
+                    return jnp.mean((out["logits"].ravel()
+                                     - b["labels"]) ** 2)
                 return cross_entropy(out["logits"], b["labels"])
             l, g = jax.value_and_grad(loss_fn)(params)
             u, opt = tx.update(g, opt, params)
@@ -196,6 +204,11 @@ def run_task_distillation(cfg: DistillConfig, teacher_variables=None):
         t_out = t_apply(teacher_variables, b)
         def loss_fn(p):
             s_out = s_apply({"params": p}, b, det=False, rngs={"dropout": key})
+            if regression:
+                # reference task_distill.py:835-837: regression stage 2
+                # fits the float labels directly with MSE
+                return jnp.mean((s_out["logits"].ravel()
+                                 - b["labels"]) ** 2)
             return soft_logits_loss(s_out["logits"], t_out["logits"],
                                     cfg.temperature)
         l, g = jax.value_and_grad(loss_fn)(params)
@@ -205,6 +218,8 @@ def run_task_distillation(cfg: DistillConfig, teacher_variables=None):
     @jax.jit
     def eval_step(params, b):
         out = s_apply({"params": params}, b)
+        if regression:
+            return out["logits"].ravel()
         return jnp.argmax(out["logits"], -1)
 
     for ep in range(cfg.stage2_epochs):

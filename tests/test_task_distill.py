@@ -38,11 +38,16 @@ class TestTokenizer:
 
 class TestGlue:
     def test_synthetic_examples_all_tasks(self):
+        assert len(PROCESSORS) == 10  # full reference task grid
         for task in PROCESSORS:
+            proc = PROCESSORS[task]
             ex = synthetic_examples(task, 8)
             assert len(ex) == 8
-            assert all(e.label in PROCESSORS[task].labels for e in ex)
-            if PROCESSORS[task].pair:
+            if proc.regression:
+                assert all(0.0 <= float(e.label) <= 5.0 for e in ex)
+            else:
+                assert all(e.label in proc.labels for e in ex)
+            if proc.pair:
                 assert ex[0].text_b is not None
 
     def test_metrics(self):
@@ -58,6 +63,52 @@ class TestGlue:
         train, dev, tok, proc = prepare_task_data(cfg)
         assert train["input_ids"].shape == (16, 32)
         assert train["labels"].max() < len(proc.labels)
+
+    def test_stsb_regression_labels_are_float(self):
+        cfg = DistillConfig(task="sts-b", n_synthetic=16, max_seq_length=24)
+        train, dev, tok, proc = prepare_task_data(cfg)
+        assert proc.regression
+        assert train["labels"].dtype == np.float32
+        assert 0.0 <= float(train["labels"].min())
+        assert float(train["labels"].max()) <= 5.0
+
+    def test_pearson_spearman_metric(self):
+        from dnn_compression_tensor_admm_tpu.nlp.glue import \
+            pearson_and_spearman
+        labels = np.asarray([0.0, 1.0, 2.0, 3.0, 4.0, 5.0])
+        m = pearson_and_spearman(labels * 2.0 + 1.0, labels)  # linear map
+        assert abs(m["pearson"] - 1.0) < 1e-9
+        assert abs(m["spearmanr"] - 1.0) < 1e-9
+        # monotone but non-linear: spearman 1, pearson < 1
+        m2 = pearson_and_spearman(np.exp(labels), labels)
+        assert abs(m2["spearmanr"] - 1.0) < 1e-9
+        assert m2["pearson"] < 0.999
+        assert abs(m2["corr"] - (m2["pearson"] + m2["spearmanr"]) / 2) < 1e-12
+
+    def test_mnli_splits_read_matched_and_mismatched_files(self, tmp_path):
+        # reference: MNLI dev = dev_matched.tsv, MNLI-mm dev =
+        # dev_mismatched.tsv (task_distill.py:159-196)
+        cols = [""] * 16
+        def row(a, b, lab):
+            r = list(cols); r[8], r[9], r[15] = a, b, lab
+            return "\t".join(r)
+        hdr = "\t".join(["h"] * 16)
+        (tmp_path / "dev_matched.tsv").write_text(
+            hdr + "\n" + row("sa", "sb", "entailment") + "\n")
+        (tmp_path / "dev_mismatched.tsv").write_text(
+            hdr + "\n" + row("xa", "xb", "neutral") + "\n"
+            + row("ya", "yb", "contradiction") + "\n")
+        m = PROCESSORS["mnli"].get_examples(str(tmp_path), "dev")
+        mm = PROCESSORS["mnli-mm"].get_examples(str(tmp_path), "dev")
+        assert len(m) == 1 and m[0].label == "entailment"
+        assert len(mm) == 2 and mm[0].text_a == "xa"
+
+    def test_wnli_tsv_columns(self, tmp_path):
+        (tmp_path / "dev.tsv").write_text(
+            "index\ts1\ts2\tlabel\n0\tfoo\tbar\t1\n1\tbaz\tqux\t0\n")
+        ex = PROCESSORS["wnli"].get_examples(str(tmp_path), "dev")
+        assert [e.label for e in ex] == ["1", "0"]
+        assert ex[0].text_a == "foo" and ex[0].text_b == "bar"
 
 
 class TestTwoStageDistill:
@@ -83,6 +134,41 @@ class TestTwoStageDistill:
         # the synthetic rule is keyword-based: distilled student should
         # beat chance on dev
         assert hist[-1]["acc"] > 0.9, hist[-1]
+
+    def test_stsb_regression_pipeline_learns_correlation(self):
+        # STS-B path: 1-logit head, MSE stage 2 (reference
+        # task_distill.py:835-837), pearson/spearman eval
+        cfg = DistillConfig(
+            task="sts-b", n_synthetic=256, max_seq_length=24, batch_size=16,
+            stage1_epochs=2, stage2_epochs=8, lr_stage1=3e-4, lr_stage2=1e-3,
+            teacher_epochs=8, teacher_lr=1e-3,
+            bert=BertConfig(vocab_size=0, hidden_size=32, num_layers=2,
+                            num_heads=2, intermediate_size=64,
+                            max_position=24, dropout=0.0, attn_dropout=0.0),
+            plan=BertCompressionPlan(linear_format="tt", linear_ratio=2.0,
+                                     embedding_format="svd",
+                                     embedding_ratio=3.0),
+            print_fn=lambda *a: None)
+        variables, hist = run_task_distillation(cfg)
+        last = hist[-1]
+        assert "pearson" in last and "spearmanr" in last and "corr" in last
+        # the synthetic similarity rule (token overlap) is learnable:
+        # require real positive correlation, not chance
+        assert last["corr"] > 0.5, last
+
+    def test_wnli_pipeline_smoke(self):
+        cfg = DistillConfig(
+            task="wnli", n_synthetic=64, max_seq_length=16, batch_size=8,
+            stage1_epochs=1, stage2_epochs=1, teacher_epochs=1,
+            bert=BertConfig(vocab_size=0, hidden_size=16, num_layers=1,
+                            num_heads=2, intermediate_size=32,
+                            max_position=16, dropout=0.0, attn_dropout=0.0),
+            plan=BertCompressionPlan(linear_format="svd", linear_ratio=2.0,
+                                     embedding_format="svd",
+                                     embedding_ratio=2.0),
+            print_fn=lambda *a: None)
+        variables, hist = run_task_distillation(cfg)
+        assert np.isfinite(hist[-1]["loss"]) and "acc" in hist[-1]
 
 
 class TestGradAccumulation:
