@@ -24,11 +24,14 @@ def build_vocab_from_texts(texts, max_size: int = 5000) -> Dict[str, int]:
     """Tiny whole-word vocab for synthetic/offline runs."""
     counter = collections.Counter()
     for t in texts:
-        counter.update(_basic_tokenize(t.lower()))
+        counter.update(_basic_tokenize(t, lowercase=True))
     vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "[MASK]": 4}
     for w, _ in counter.most_common(max_size - len(vocab)):
         vocab[w] = len(vocab)
     return vocab
+
+
+NEVER_SPLIT = ("[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]")
 
 
 def _is_punct(ch: str) -> bool:
@@ -38,14 +41,63 @@ def _is_punct(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
-def _basic_tokenize(text: str) -> List[str]:
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False  # treated as whitespace
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_cjk(cp: int) -> bool:
+    """CJK Unified Ideograph blocks (reference tokenization.py
+    _is_chinese_char)."""
+    return ((0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF)
+            or (0x20000 <= cp <= 0x2A6DF) or (0x2A700 <= cp <= 0x2B73F)
+            or (0x2B740 <= cp <= 0x2B81F) or (0x2B820 <= cp <= 0x2CEAF)
+            or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
+
+
+def _clean_text(text: str) -> str:
+    """Drop control chars / NUL / replacement chars, normalize whitespace
+    (reference BasicTokenizer._clean_text)."""
     out = []
-    buf = []
     for ch in text:
-        if ch.isspace():
-            if buf:
-                out.append("".join(buf)); buf = []
-        elif _is_punct(ch):
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            continue
+        out.append(" " if _is_whitespace(ch) else ch)
+    return "".join(out)
+
+
+def _space_cjk(text: str) -> str:
+    """Surround CJK ideographs with spaces so each becomes its own token
+    (reference BasicTokenizer._tokenize_chinese_chars)."""
+    out = []
+    for ch in text:
+        if _is_cjk(ord(ch)):
+            out.append(f" {ch} ")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _strip_accents(text: str) -> str:
+    """NFD-decompose and drop combining marks (reference
+    BasicTokenizer._run_strip_accents)."""
+    return "".join(ch for ch in unicodedata.normalize("NFD", text)
+                   if unicodedata.category(ch) != "Mn")
+
+
+def _split_word(word: str) -> List[str]:
+    """Split one whitespace token on punctuation."""
+    out, buf = [], []
+    for ch in word:
+        if _is_punct(ch):
             if buf:
                 out.append("".join(buf)); buf = []
             out.append(ch)
@@ -53,6 +105,23 @@ def _basic_tokenize(text: str) -> List[str]:
             buf.append(ch)
     if buf:
         out.append("".join(buf))
+    return out
+
+
+def _basic_tokenize(text: str, lowercase: bool = False,
+                    never_split=NEVER_SPLIT) -> List[str]:
+    """Reference BasicTokenizer.tokenize semantics (tokenization.py:189-208):
+    clean -> CJK spacing -> whitespace split -> per-token lower +
+    accent-strip (skipping never_split specials) -> punctuation split."""
+    text = _space_cjk(_clean_text(text))
+    out = []
+    for token in text.split():
+        if token in never_split:
+            out.append(token)
+            continue
+        if lowercase:
+            token = _strip_accents(token.lower())
+        out.extend(_split_word(token))
     return out
 
 
@@ -70,10 +139,11 @@ class WordPieceTokenizer:
         return cls(load_vocab(path), **kw)
 
     def tokenize(self, text: str) -> List[str]:
-        if self.lowercase:
-            text = text.lower()
         out = []
-        for word in _basic_tokenize(text):
+        for word in _basic_tokenize(text, lowercase=self.lowercase):
+            if word in NEVER_SPLIT:
+                out.append(word)
+                continue
             if len(word) > self.max_chars:
                 out.append(self.unk)
                 continue

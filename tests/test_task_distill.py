@@ -35,6 +35,34 @@ class TestTokenizer:
         tok = WordPieceTokenizer(vocab)
         assert len(tok.tokenize("a,b")) == 3
 
+    def test_accent_stripping_and_case(self):
+        # reference BasicTokenizer: lower-case then NFD accent strip
+        from dnn_compression_tensor_admm_tpu.nlp.tokenization import (
+            _basic_tokenize)
+        assert _basic_tokenize("Héllo WÖRLD", lowercase=True) == \
+            ["hello", "world"]
+        # no lowercase -> accents retained
+        assert _basic_tokenize("Héllo", lowercase=False) == ["Héllo"]
+
+    def test_cjk_chars_become_single_tokens(self):
+        from dnn_compression_tensor_admm_tpu.nlp.tokenization import (
+            _basic_tokenize)
+        assert _basic_tokenize("ab中文cd", lowercase=True) == \
+            ["ab", "中", "文", "cd"]
+
+    def test_control_chars_removed_whitespace_normalized(self):
+        from dnn_compression_tensor_admm_tpu.nlp.tokenization import (
+            _basic_tokenize)
+        assert _basic_tokenize("a\x00b�c\td\ne", lowercase=True) == \
+            ["abc", "d", "e"]
+
+    def test_never_split_specials_pass_through(self):
+        from dnn_compression_tensor_admm_tpu.nlp.tokenization import (
+            WordPieceTokenizer)
+        tok = WordPieceTokenizer({"[PAD]": 0, "[UNK]": 1, "[CLS]": 2,
+                                  "[SEP]": 3, "[MASK]": 4, "a": 5})
+        assert tok.tokenize("a [MASK] a") == ["a", "[MASK]", "a"]
+
 
 class TestGlue:
     def test_synthetic_examples_all_tasks(self):
