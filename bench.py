@@ -1,17 +1,22 @@
-"""Headline benchmark: ADMM iterations/s, ResNet32-TK-3x, CIFAR-10 geometry.
+"""Headline benchmark: ADMM iterations/s on the available device.
 
-Measures the full augmented-Lagrangian pipeline on the available device
-(real TPU under the driver): per-epoch Z/U projection step (vmap-bucketed
-on-device truncated HOOI) + scanned X-steps (batch 256, bf16 compute,
-in-jit data sampling/augmentation, label smoothing 0.1, SGD-momentum) —
-the configuration of the reference's headline result
-(README.md:19-21, BASELINE.json north star).
+Default config is ResNet32-TK-3x @ CIFAR-10 geometry — the reference's
+headline result (README.md:19-21, BASELINE.json north star): per-epoch
+Z/U projection (vmap-bucketed on-device truncated HOOI / batched TT-SVD)
++ scanned X-steps (batch 256, bf16 compute, in-jit data
+sampling/augmentation, label smoothing 0.1, SGD-momentum).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` compares against the most recent recorded BENCH_r*.json
 (the reference publishes no throughput numbers — BASELINE.md).
+
+Other configs (--config tt3x | deit_tt2) cover the second headline
+format (TT) and the ViT family; `--all` runs every config and writes
+results/bench_formats.json while still printing the single headline
+line last.
 """
 
+import argparse
 import glob
 import json
 import os
@@ -33,23 +38,61 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def main():
+CONFIGS = {
+    # 50k/256 = 196 steps: the real CIFAR-10 epoch geometry
+    "tk3x": dict(model="resnet32", fmt="tk", ratio="3", batch_size=256,
+                 steps_per_epoch=196, dataset="synthetic-cifar10",
+                 metric="admm_iterations_per_s_resnet32_tk3x_b256"),
+    "tt3x": dict(model="resnet32", fmt="tt", ratio="3", batch_size=256,
+                 steps_per_epoch=196, dataset="synthetic-cifar10",
+                 metric="admm_iterations_per_s_resnet32_tt3x_b256"),
+    # ViT family, TT format (reference README.md:36-38); fewer steps per
+    # timed epoch — it/s is per-step so the geometry does not matter
+    "deit_tt2": dict(model="deit_tiny_patch16_224", fmt="tt", ratio="2",
+                     batch_size=128, steps_per_epoch=32,
+                     dataset="synthetic-imagenet", synthetic_size=512,
+                     opt="adamw", lr=5e-4,
+                     metric="admm_iterations_per_s_deit_tiny_tt2_b128"),
+}
+
+
+def run_config(name: str) -> dict:
     from dnn_compression_tensor_admm_tpu.train import TrainConfig, train_model
-
-    steps_per_epoch = 196  # 50k / 256, the real CIFAR-10 epoch geometry
+    c = dict(CONFIGS[name])
+    metric = c.pop("metric")
+    steps = c["steps_per_epoch"]
     cfg = TrainConfig(
-        model="resnet32", dataset="synthetic-cifar10", batch_size=256,
-        epochs=4, steps_per_epoch=steps_per_epoch, lr=0.1, smoothing=0.1,
-        admm=True, fmt="tk", ratio="3", admm_method="pallas", admm_hooi_iters=6,
-        compute_dtype="bfloat16", eval_every=10**9, print_fn=lambda *a: None,
-    )
+        epochs=4, lr=c.pop("lr", 0.1), smoothing=0.1, admm=True,
+        admm_method="pallas", admm_hooi_iters=6, compute_dtype="bfloat16",
+        eval_every=10 ** 9, print_fn=lambda *a: None, **c)
+    state, hist = train_model(cfg)
+    times = [h["epoch_time_s"] for h in hist[1:]]  # epoch 1 pays compile
+    iters_per_s = steps / (sum(times) / len(times))
+    return {"metric": metric, "value": round(iters_per_s, 2),
+            "unit": "iter/s",
+            "images_per_s": round(iters_per_s * cfg.batch_size, 1)}
 
-    # epoch 1 pays compile; time epochs 2..4
-    t_epochs = []
-    orig_train = train_model
-    state, hist = orig_train(cfg)
-    times = [h["epoch_time_s"] for h in hist[1:]]
-    iters_per_s = steps_per_epoch / (sum(times) / len(times))
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="tk3x", choices=sorted(CONFIGS))
+    ap.add_argument("--all", action="store_true",
+                    help="run every config, write results/bench_formats.json")
+    args = ap.parse_args()
+
+    if args.all:
+        rows = []
+        for name in ("tk3x", "tt3x", "deit_tt2"):
+            r = run_config(name)
+            r["config"] = name
+            rows.append(r)
+            print(json.dumps(r), file=sys.stderr)
+        os.makedirs("results", exist_ok=True)
+        with open("results/bench_formats.json", "w") as f:
+            json.dump(rows, f, indent=1)
+        headline = rows[0]
+    else:
+        headline = run_config(args.config)
 
     prev = None
     for f in sorted(glob.glob("BENCH_r*.json"),
@@ -57,14 +100,16 @@ def main():
         try:
             rec = json.load(open(f))
             # driver records our line under "parsed"; accept both layouts
-            prev = (rec.get("parsed") or rec).get("value") or prev
+            cand = (rec.get("parsed") or rec)
+            if cand.get("metric") == headline["metric"]:
+                prev = cand.get("value") or prev
         except Exception:
             pass
-    vs = (iters_per_s / prev) if prev else 1.0
+    vs = (headline["value"] / prev) if prev else 1.0
 
     print(json.dumps({
-        "metric": "admm_iterations_per_s_resnet32_tk3x_b256",
-        "value": round(iters_per_s, 2),
+        "metric": headline["metric"],
+        "value": headline["value"],
         "unit": "iter/s",
         "vs_baseline": round(vs, 3),
     }))

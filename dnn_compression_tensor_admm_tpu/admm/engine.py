@@ -28,6 +28,7 @@ from typing import Any, Dict, List, Sequence, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..configs.hp import RankPlan, SVDSpec, TKSpec, TTConvSpec, TTLinearSpec
 from ..layers.common import canonical_param_name
@@ -256,6 +257,37 @@ def _project_group_pallas(g: _Group, ts: jax.Array, n_iter: int) -> jax.Array:
     return None
 
 
+def _mesh_size(mesh) -> int:
+    return int(np.prod(list(mesh.shape.values())))
+
+
+def _project_group_shardmap(g: _Group, x: jax.Array, proj, mesh) -> jax.Array:
+    """Layer-sharded Z-step for one bucket (SURVEY.md §5 north star:
+    'shard_map over a layers axis + all_gather of projected factors').
+
+    The [L, ...] stack is zero-padded to the full device count (both mesh
+    axes are flattened so every device helps — the 'data' axis would
+    otherwise idle through the Z-step), each device runs the projection
+    on its local block (all linear algebra local), and the result is
+    gathered back to replicated in one collective. Zero-padding is safe:
+    every projection maps the zero tensor to zero (SVD/Gram/HOOI of 0)."""
+    from jax.sharding import PartitionSpec as P
+    axes = tuple(mesh.shape.keys())
+    n = _mesh_size(mesh)
+    l = x.shape[0]
+    pad = (-l) % n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)])
+    # check_vma=False: the solver's fori_loop carries device-invariant
+    # constants (jnp.eye seeds) that the varying-axis checker rejects;
+    # the computation is embarrassingly parallel so the check adds nothing
+    f = jax.shard_map(jax.vmap(proj), mesh=mesh,
+                      in_specs=P(axes), out_specs=P(axes), check_vma=False)
+    z = f(x)
+    from ..parallel.mesh import constrain_replicated
+    return constrain_replicated(z, mesh)[:l]
+
+
 def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
                 update_u: bool = True, method: str = "svd",
                 n_iter: int = 10, mesh=None) -> Tuple[AdmmState, Dict[str, jax.Array]]:
@@ -263,10 +295,10 @@ def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
 
     Jit this with `program`, `update_u`, `method`, `n_iter` static. Layers
     inside each bucket are projected as one vmapped batch; with a `mesh`,
-    each bucket's layer stack is sharded over the 'layer' axis so the
-    SVD/HOOI work spreads across devices and the projected Z shards are
-    all-gathered back into the (replicated) state — the reference instead
-    runs every layer serially on the host CPU (admm.py:50-67).
+    each bucket's layer stack is shard_map-distributed over ALL mesh
+    devices (each device solves its local block of layers, one all-gather
+    returns Z to replicated) — the reference instead runs every layer
+    serially on the host CPU (admm.py:50-67).
 
     `method='pallas'` routes Tucker-2 buckets through the fused Pallas
     kernel (ops/pallas/tucker_kernel.py, ~5x faster per bucket than the
@@ -276,22 +308,29 @@ def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
     Returns (new_state, residual_norms {name: ||W - Z||}) — the metric the
     reference exposes via --verbose/--log (admm.py:75-78).
     """
-    from ..parallel.mesh import constrain_layer_stack
     new_u = dict(state.u)
     new_z = dict(state.z)
     residuals: Dict[str, jax.Array] = {}
     for g in program.groups:
         ws = jnp.stack([_get(params, program.paths[n]) for n in g.names])
         us = jnp.stack([state.u[n] for n in g.names])
-        ws = constrain_layer_stack(ws, mesh)
-        us = constrain_layer_stack(us, mesh)
         zs = None
         if method == "pallas" and mesh is None:
             zs = _project_group_pallas(g, ws + us, n_iter)
         if zs is None:
             eff = "subspace" if method == "pallas" else method
             proj = lambda w: _project_one(g.kind, g.spec, w, method=eff, n_iter=n_iter)
-            zs = jax.vmap(proj)(ws + us)
+            if mesh is not None and _mesh_size(mesh) > 1:
+                # shard_map: each device projects its local block of the
+                # padded layer stack with ZERO communication (the SVD/HOOI
+                # solves contain eigh/cholesky ops the SPMD partitioner
+                # cannot batch-partition — a with_sharding_constraint
+                # formulation reshards at every inner iteration and
+                # measured 20-60x slower on an 8-device mesh), then the
+                # projected stack all-gathers back to replicated once.
+                zs = _project_group_shardmap(g, ws + us, proj, mesh)
+            else:
+                zs = jax.vmap(proj)(ws + us)
         diffs = ws - zs
         norms = jnp.sqrt(jnp.sum(diffs.reshape(diffs.shape[0], -1) ** 2, axis=1))
         for j, n in enumerate(g.names):

@@ -22,7 +22,7 @@ from functools import partial
 
 
 def measure(n_devices: int, batch_per_device: int = 32, steps: int = 4,
-            model: str = "resnet20") -> dict:
+            model: str = "resnet20", admm: bool = True) -> dict:
     import jax
     if len(jax.devices()) < n_devices:
         raise RuntimeError(
@@ -44,14 +44,14 @@ def measure(n_devices: int, batch_per_device: int = 32, steps: int = 4,
     cfg = TrainConfig(
         model=model, dataset="synthetic-cifar10",
         batch_size=batch_per_device * (n_devices // n_layer),
-        epochs=2, steps_per_epoch=steps, lr=0.1, admm=True, fmt="tk",
+        epochs=2, steps_per_epoch=steps, lr=0.1, admm=admm, fmt="tk",
         ratio="3", admm_method="subspace", compute_dtype=None,
         synthetic_size=1024, eval_every=10**9, print_fn=lambda *a: None)
     t0 = time.time()
     state, hist = train_model(cfg, mesh=mesh)
     per_epoch = hist[-1]["epoch_time_s"]  # epoch 2: compile amortized
     return {"devices": n_devices, "mesh": (n_devices // n_layer, n_layer),
-            "global_batch": cfg.batch_size,
+            "admm": admm, "global_batch": cfg.batch_size,
             "steps_per_s": steps / per_epoch,
             "images_per_s": steps * cfg.batch_size / per_epoch}
 
@@ -60,8 +60,15 @@ def main(argv=None):
     if os.environ.get("DCTA_PLATFORM"):
         import jax
         jax.config.update("jax_platforms", os.environ["DCTA_PLATFORM"])
-    ns = [int(a) for a in (argv or sys.argv[1:])] or [1, 2, 4, 8]
-    results = [measure(n) for n in ns]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    # --dense: X-step-only DP scaling (weak-scaled batch). On the virtual
+    # CPU mesh this is the meaningful row — the Z-step's eigh/cholesky
+    # LAPACK custom calls serialize pathologically across virtual devices
+    # (see bench/zstep_ab.py), which real TPU lowering does not do.
+    admm = "--dense" not in argv
+    ns = [int(a) for a in argv if not a.startswith("-")] or [1, 2, 4, 8]
+    steps = 16 if not admm else 4
+    results = [measure(n, steps=steps, admm=admm) for n in ns]
     base = results[0]
     for r in results:
         r["scaling_efficiency_vs_1dev"] = round(

@@ -1,0 +1,77 @@
+"""Z-step layer-sharding A/B: admm_update with and without the 'layer'
+mesh axis.
+
+The reference runs every layer's projection serially on the host CPU
+(admm.py:50-67); here the projection buckets are vmapped on device, and
+with a mesh the [L, ...] layer stacks shard over the 'layer' axis
+(north-star design, SURVEY.md §5). This harness times one jitted
+admm_update, replicated vs layer-sharded, on whatever devices exist —
+the virtual CPU mesh gives indicative (CPU-core-backed) numbers; the
+ratio is the artifact.
+
+Run: DCTA_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python -m dnn_compression_tensor_admm_tpu.bench.zstep_ab [n_layer ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+
+def measure(n_layer: int, model: str = "resnet32", fmt: str = "tk",
+            ratio: str = "3", iters: int = 5) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from ..admm import admm_init, admm_update, build_program
+    from ..configs.resolver import get_rank_plan
+    from ..models import create_model
+    from ..parallel import make_mesh
+    from ..utils.profiling import device_sync
+
+    m = create_model(model)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                       train=False)
+    params = variables["params"]
+    plan = get_rank_plan(model, fmt, ratio)
+    program = build_program(params, plan)
+    state = admm_init(params, program)
+
+    mesh = None
+    if n_layer > 1:
+        devs = jax.devices()
+        if len(devs) < n_layer:
+            raise RuntimeError(f"need {n_layer} devices, have {len(devs)}")
+        mesh = make_mesh(n_data=1, n_layer=n_layer, devices=devs[:n_layer])
+
+    step = jax.jit(partial(admm_update, program=program, update_u=True,
+                           method="subspace", n_iter=6, mesh=mesh))
+    new_state, res = step(params, state)   # compile
+    device_sync(res)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        new_state, res = step(params, new_state)
+    device_sync(res)
+    dt = (time.perf_counter() - t0) / iters
+    return {"n_layer_shards": n_layer, "z_step_ms": round(1000 * dt, 2),
+            "layers": len(program.paths)}
+
+
+def main(argv=None):
+    if os.environ.get("DCTA_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["DCTA_PLATFORM"])
+    ns = [int(a) for a in (argv or sys.argv[1:])] or [1, 2, 4, 8]
+    rows = [measure(n) for n in ns]
+    base = rows[0]["z_step_ms"]
+    for r in rows:
+        r["speedup_vs_unsharded"] = round(base / r["z_step_ms"], 3)
+        print(json.dumps(r))
+    return rows
+
+
+if __name__ == "__main__":
+    main()

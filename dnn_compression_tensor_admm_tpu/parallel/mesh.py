@@ -49,3 +49,10 @@ def constrain_layer_stack(x, mesh: Optional[Mesh]):
     if mesh is None:
         return x
     return jax.lax.with_sharding_constraint(x, layer_sharding(mesh, x.ndim))
+
+
+def constrain_replicated(x, mesh: Optional[Mesh]):
+    """Force x back to replicated layout (one collective)."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, replicated(mesh))

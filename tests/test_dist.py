@@ -62,6 +62,36 @@ class TestGlobalArrays:
         np.testing.assert_array_equal(np.asarray(g["w"]), state["w"])
         np.testing.assert_array_equal(np.asarray(g["b"]), state["b"])
 
+    def test_sharded_zstep_matches_unsharded(self):
+        # shard_map layer distribution must not change the projections
+        import jax.numpy as jnp
+        from functools import partial
+        from dnn_compression_tensor_admm_tpu.admm import (admm_init,
+                                                          admm_update,
+                                                          build_program)
+        from dnn_compression_tensor_admm_tpu.configs.resolver import \
+            get_rank_plan
+        from dnn_compression_tensor_admm_tpu.models import create_model
+        m = create_model("resnet20")
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                        train=False)["params"]
+        plan = get_rank_plan("resnet20", "tk", "2")
+        program = build_program(params, plan)
+        state = admm_init(params, program)
+        mesh = make_mesh(n_data=4, n_layer=2)
+        ref_state, ref_res = jax.jit(partial(
+            admm_update, program=program, method="subspace", n_iter=4))(
+                params, state)
+        sh_state, sh_res = jax.jit(partial(
+            admm_update, program=program, method="subspace", n_iter=4,
+            mesh=mesh))(params, state)
+        for k in ref_state.z:
+            np.testing.assert_allclose(np.asarray(sh_state.z[k]),
+                                       np.asarray(ref_state.z[k]),
+                                       atol=2e-4, err_msg=k)
+        for k in ref_res:
+            assert abs(float(sh_res[k]) - float(ref_res[k])) < 2e-3
+
     def test_sharded_dataset_feeds_jitted_gather(self):
         # the training loop slices batches out of the globally-sharded
         # dataset inside jit; check the compiled gather works on it
