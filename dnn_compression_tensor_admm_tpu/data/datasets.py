@@ -44,8 +44,17 @@ _INFO = {
 }
 
 
+def _split_synthetic(name: str):
+    """-> (base_name, mode) where mode is None | 'easy' | 'hard'."""
+    if name.startswith("synthetic-hard-"):
+        return name[len("synthetic-hard-"):], "hard"
+    if name.startswith("synthetic-"):
+        return name[len("synthetic-"):], "easy"
+    return name, None
+
+
 def dataset_info(name: str) -> DatasetInfo:
-    return _INFO[name.replace("synthetic-", "")]
+    return _INFO[_split_synthetic(name)[0]]
 
 
 def _load_cifar10(data_dir: str, train: bool):
@@ -94,9 +103,17 @@ def _load_mnist(data_dir: str, train: bool):
     return x, y
 
 
-def _synthetic(info: DatasetInfo, train: bool, n: Optional[int] = None):
+def _synthetic(info: DatasetInfo, train: bool, n: Optional[int] = None,
+               hard: bool = False):
     """Deterministic learnable synthetic data: class-conditional low-freq
-    patterns + noise. Lets training/benching run with zero downloads."""
+    patterns + noise. Lets training/benching run with zero downloads.
+
+    `hard` mode ('synthetic-hard-*' names) caps the achievable accuracy
+    below 100%: with probability 0.15 an image is rendered from a
+    *different* class's prototype (label kept), plus amplitude jitter and
+    3x pixel noise — a Bayes-error floor of ~13.5%, so accuracy lands
+    mid-80s and compression/fine-tune accuracy *differences* are
+    observable (used by the flagship evidence runs in results/)."""
     n = n or (50_000 if train else 10_000)
     rng = np.random.RandomState(0 if train else 1)
     y = rng.randint(0, info.num_classes, size=n).astype(np.int32)
@@ -112,7 +129,18 @@ def _synthetic(info: DatasetInfo, train: bool, n: Optional[int] = None):
                             np.sin(2 * np.pi * f[1] * xx[..., None] + ph[1]))
         protos.append(img)
     protos = np.stack(protos)  # [K, s, s, c]
-    x = protos[y] + rng.normal(0, 0.15, size=(n, s, s, c)).astype(np.float32)
+    if hard:
+        k = info.num_classes
+        # irreducible class overlap: 15% of images are rendered from a
+        # different class's prototype while keeping their label
+        render = y.copy()
+        flip = rng.rand(n) < 0.15
+        render[flip] = rng.randint(0, k, size=int(flip.sum()))
+        amp = rng.uniform(0.6, 1.4, size=(n, 1, 1, 1)).astype(np.float32)
+        x = 0.5 + amp * (protos[render] - 0.5)
+        x = x + rng.normal(0, 0.3, size=(n, s, s, c)).astype(np.float32)
+    else:
+        x = protos[y] + rng.normal(0, 0.15, size=(n, s, s, c)).astype(np.float32)
     return (np.clip(x, 0, 1) * 255).astype(np.uint8), y
 
 
@@ -123,11 +151,10 @@ def load_dataset(name: str, train: bool, data_dir: Optional[str] = None,
     'synthetic-<name>' (or a missing data_dir) selects the deterministic
     synthetic fallback with <name>'s geometry.
     """
-    synthetic = name.startswith("synthetic-")
-    base = name.replace("synthetic-", "")
+    base, mode = _split_synthetic(name)
     info = dataset_info(base)
-    if synthetic or data_dir is None:
-        x, y = _synthetic(info, train, synthetic_size)
+    if mode is not None or data_dir is None:
+        x, y = _synthetic(info, train, synthetic_size, hard=(mode == "hard"))
         return x, y, info
     loader = {"cifar10": _load_cifar10, "cifar100": _load_cifar100,
               "mnist": _load_mnist}.get(base)

@@ -19,6 +19,28 @@ def _base_cfg(**kw):
     return TrainConfig(**d)
 
 
+class TestSyntheticData:
+    def test_hard_mode_differs_and_keeps_geometry(self):
+        from dnn_compression_tensor_admm_tpu.data.datasets import load_dataset
+        xe, ye, ie = load_dataset("synthetic-cifar10", True, None,
+                                  synthetic_size=256)
+        xh, yh, ih = load_dataset("synthetic-hard-cifar10", True, None,
+                                  synthetic_size=256)
+        assert xh.shape == xe.shape and xh.dtype == np.uint8
+        assert ih == ie
+        assert not np.array_equal(xh, xe)
+        # hard mode must be genuinely harder: nearest-prototype accuracy
+        # by class-mean template matching drops well below the easy set's
+        def nearest_proto_acc(x, y):
+            xf = x.reshape(len(x), -1).astype(np.float32)
+            means = np.stack([xf[y == k].mean(0) for k in range(10)])
+            pred = np.argmin(
+                ((xf[:, None] - means[None]) ** 2).sum(-1), axis=1)
+            return (pred == y).mean()
+        assert nearest_proto_acc(xe, ye) > 0.95
+        assert nearest_proto_acc(xh, yh) < 0.9
+
+
 class TestLosses:
     def test_ce_matches_manual(self):
         logits = jnp.asarray([[2.0, 0.0, -1.0], [0.0, 1.0, 0.0]])
