@@ -63,6 +63,35 @@ class TestSquad:
         assert hist[-1]["exact_match"] > 0.5, hist
 
 
+class TestNlpCli:
+    """The reference ships task_distill/general_distill/run_squad as
+    script entry points; the CLI (nlp/cli.py) is their single driver."""
+
+    def test_task_distill_subcommand(self, capsys):
+        from dnn_compression_tensor_admm_tpu.nlp.cli import main
+        variables, hist = main([
+            "task-distill", "--task", "wnli", "--hidden-size", "16",
+            "--num-layers", "1", "--num-heads", "2",
+            "--intermediate-size", "32", "--max-seq-length", "16",
+            "--batch-size", "8", "--linear-format", "svd",
+            "--embedding-format", "svd", "--embedding-ratio", "2"])
+        assert "acc" in hist[-1]
+        assert '"final"' in capsys.readouterr().out
+
+    def test_squad_subcommand_save(self, tmp_path, capsys):
+        from dnn_compression_tensor_admm_tpu.nlp.cli import main
+        out = str(tmp_path / "student.msgpack")
+        variables, hist = main([
+            "squad", "--hidden-size", "16", "--num-layers", "1",
+            "--num-heads", "2", "--intermediate-size", "32",
+            "--max-seq-length", "32", "--batch-size", "8", "--epochs", "1",
+            "--linear-format", "none", "--embedding-format", "none",
+            "--save", out])
+        assert "exact_match" in hist[-1] and "f1" in hist[-1]
+        import os
+        assert os.path.exists(out)
+
+
 class TestDocStride:
     """Round-2 gap (VERDICT Missing #4): long contexts were silently
     truncated. These tests pin the doc-stride window + n-best machinery
