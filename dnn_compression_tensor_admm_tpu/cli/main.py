@@ -97,6 +97,10 @@ def parse_args(argv=None):
     p.add_argument("--export", default=None, type=str, metavar="PATH",
                    help="after loading/training, export the model as a "
                         "StableHLO artifact (the ONNX-exporter role)")
+    p.add_argument("--export-savedmodel", default=None, type=str,
+                   metavar="DIR",
+                   help="export a TF SavedModel via jax2tf (ONNX-convertible "
+                        "offline with tf2onnx; cross-runtime deployment)")
     p.add_argument("--layer-shards", default=1, type=int,
                    help="devices along the mesh 'layer' axis (ADMM Z-step "
                         "layer sharding); the rest go to 'data'")
@@ -250,12 +254,18 @@ def main(argv=None):
             if not args.model_path:
                 raise SystemExit("ERROR: --eval/--runtime need --model-path")
             init_variables = load_variables(args.model_path)
-        if args.export:
-            from ..utils.export import export_model
+        if args.export or args.export_savedmodel:
             sz = info.input_size
-            export_model(model, init_variables,
-                         (args.batch_size, sz, sz, len(info.mean)), args.export)
-            print(f"exported StableHLO artifact to {args.export}")
+            shape = (args.batch_size, sz, sz, len(info.mean))
+            if args.export:
+                from ..utils.export import export_model
+                export_model(model, init_variables, shape, args.export)
+                print(f"exported StableHLO artifact to {args.export}")
+            if args.export_savedmodel:
+                from ..utils.export import export_savedmodel
+                export_savedmodel(model, init_variables, shape,
+                                  args.export_savedmodel)
+                print(f"exported SavedModel to {args.export_savedmodel}")
             return
         if args.runtime:
             r = eval_runtime(model, init_variables, info,

@@ -488,6 +488,11 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         row = {"epoch": epoch + 1, "train_loss": train_loss,
                "train_acc": float(metrics["acc"]),
                "epoch_time_s": time.time() - t0}
+        if cfg.admm:
+            # convergence-onto-manifold signal in the persistent log (the
+            # reference's --log residual history, admm.py:24-26)
+            row["admm_residual_total"] = round(
+                float(sum(float(v) for v in residuals.values())), 5)
         if ((epoch + 1) % cfg.eval_every == 0 or epoch + 1 == epochs) \
                 and x_va is not None:
             ev = evaluate_model(model, state.variables(), x_va, y_va, info,

@@ -24,6 +24,26 @@ class TestExport:
                                    atol=1e-5)
 
 
+class TestSavedModelExport:
+    def test_savedmodel_roundtrip_matches_model(self, tmp_path):
+        # the cross-runtime (ONNX-convertible) export path; reference
+        # exporters: convert_onnx_resnet.py:66-78
+        import pytest
+        tf = pytest.importorskip("tensorflow")
+        from dnn_compression_tensor_admm_tpu.utils.export import \
+            export_savedmodel
+        m = create_model("resnet20", num_classes=10)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        v = m.init(jax.random.PRNGKey(1), x, train=False)
+        path = str(tmp_path / "savedmodel")
+        export_savedmodel(m, v, (2, 32, 32, 3), path)
+        loaded = tf.saved_model.load(path)
+        y_tf = loaded.serve(tf.constant(np.asarray(x)))
+        y_direct = m.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(y_tf), np.asarray(y_direct),
+                                   atol=1e-4)
+
+
 class TestTTM:
     def test_ttm_linear_weight_consistency(self):
         m = TTMLinear(input_tt_shape=(8, 6), output_tt_shape=(4, 8),
