@@ -103,9 +103,16 @@ def _criterion(cfg: TrainConfig):
     return lambda logits, y: cross_entropy(logits, y, cfg.smoothing)
 
 
-def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
+def make_train_step(model, cfg: TrainConfig, tx, info,
                     program=None, teacher=None, teacher_vars=None, mesh=None):
     """Build the jitted (scanned) X-step for one epoch segment.
+
+    The HBM-resident dataset is a jit ARGUMENT, not a closure: a
+    closed-over array inlines into the lowered HLO as a literal
+    (measured: a 61 MB uint8 dataset became a 122 MB module), which
+    multiplies XLA compile time ~3x and keys the persistent compile
+    cache on the data — every new dataset repaid the full compile.
+    As arguments, the program is shape-keyed only.
 
     With a `mesh`, the in-jit sampled batch is sharded over the 'data'
     axis; XLA inserts the gradient reduction over ICI (the reference's
@@ -114,12 +121,8 @@ def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
     from ..parallel.mesh import constrain_batch
     mix_active = cfg.mixup > 0 or cfg.cutmix > 0
     criterion = _criterion(cfg)
-    # epoch-shuffle sampling needs n >= batch; tiny (test) datasets fall
-    # back to per-step with-replacement gathers
-    shuffled = (cfg.sampling == "shuffle"
-                and images.shape[0] >= cfg.batch_size)
 
-    def one_step(state: TrainState, rho, step_images, step_labels, i):
+    def one_step(state: TrainState, rho, step_images, step_labels, i, shuffled):
         rng, k_batch, k_aug, k_mix, k_drop = jax.random.split(state.rng, 5)
         if shuffled:
             if cfg.repeated_aug > 1:
@@ -183,7 +186,12 @@ def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
         return new_state, {"loss": loss, "acc": acc}
 
     @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
-    def run_steps(state: TrainState, rho, num_steps: int):
+    def run_steps(state: TrainState, rho, images, labels, num_steps: int):
+        # epoch-shuffle sampling needs n >= batch; tiny (test) datasets
+        # fall back to per-step with-replacement gathers (static: depends
+        # only on the argument's shape)
+        shuffled = (cfg.sampling == "shuffle"
+                    and images.shape[0] >= cfg.batch_size)
         if shuffled:
             k_shuf, rng = jax.random.split(state.rng)
             state = state.replace(rng=rng)
@@ -192,7 +200,7 @@ def make_train_step(model, cfg: TrainConfig, tx, images, labels, info,
             step_images, step_labels = images, labels
 
         def body(s, i):
-            return one_step(s, rho, step_images, step_labels, i)
+            return one_step(s, rho, step_images, step_labels, i, shuffled)
         state, metrics = jax.lax.scan(body, state, jnp.arange(num_steps))
         return state, jax.tree.map(jnp.mean, metrics)
 
@@ -423,7 +431,7 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         else:
             images = jnp.asarray(x_tr)
             labels = jnp.asarray(y_tr)
-        run_steps = make_train_step(model, cfg, tx, images, labels, info_nc,
+        run_steps = make_train_step(model, cfg, tx, info_nc,
                                     program=program, teacher=teacher,
                                     teacher_vars=teacher_vars, mesh=mesh)
     eval_step = make_eval_step(model)
@@ -473,7 +481,7 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                        "acc": jnp.mean(jnp.stack(accs))}
         else:
             with timer.phase("x_step_scan"):
-                state, metrics = run_steps(state, rho, steps)
+                state, metrics = run_steps(state, rho, images, labels, steps)
                 # device_sync (a host fetch) is the only reliable barrier
                 # under axon — block_until_ready returns early there — and
                 # the fetched scalars are consumed right below, so the one
