@@ -101,6 +101,8 @@ def main(argv=None):
     sq.add_argument("--doc-stride", type=int, default=64)
     sq.add_argument("--n-best-size", type=int, default=20)
     sq.add_argument("--max-answer-length", type=int, default=30)
+    sq.add_argument("--output-dir", default=None,
+                    help="write predictions.json / nbest_predictions.json")
     sq.add_argument("--save", default=None)
 
     args = ap.parse_args(argv)
@@ -141,7 +143,8 @@ def main(argv=None):
             n_best_size=args.n_best_size,
             max_answer_length=args.max_answer_length,
             batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
-            seed=args.seed, bert=_bert_config(args), plan=_plan(args))
+            seed=args.seed, output_dir=args.output_dir,
+            bert=_bert_config(args), plan=_plan(args))
         variables, history = run_squad(cfg, args.train_json, args.dev_json)
         out = history[-1]
 

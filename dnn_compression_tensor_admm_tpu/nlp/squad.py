@@ -306,6 +306,9 @@ class SquadConfig:
     seed: int = 0
     n_synthetic: int = 128
     synthetic_context_words: int = 24
+    output_dir: Optional[str] = None  # write predictions.json +
+                                      # nbest_predictions.json (reference
+                                      # run_squad.py:386-387)
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     plan: Optional[BertCompressionPlan] = None
     print_fn: Callable = print
@@ -380,6 +383,7 @@ def run_squad(cfg: SquadConfig, train_path: Optional[str] = None,
     params = v["params"]
     n = len(train["input_ids"])
     history = []
+    preds = {}
     for ep in range(cfg.epochs):
         t0 = time.time()
         order = nprng.permutation(n)
@@ -402,4 +406,12 @@ def run_squad(cfg: SquadConfig, train_path: Optional[str] = None,
                "time_s": time.time() - t0}
         history.append(row)
         log(row)
+    if cfg.output_dir:
+        import os
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        with open(os.path.join(cfg.output_dir, "predictions.json"), "w") as fh:
+            json.dump({str(i): preds[i]["text"] for i in preds}, fh, indent=1)
+        with open(os.path.join(cfg.output_dir,
+                               "nbest_predictions.json"), "w") as fh:
+            json.dump({str(i): preds[i]["nbest"] for i in preds}, fh, indent=1)
     return {"params": params}, history

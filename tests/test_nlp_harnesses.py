@@ -79,17 +79,24 @@ class TestNlpCli:
         assert '"final"' in capsys.readouterr().out
 
     def test_squad_subcommand_save(self, tmp_path, capsys):
+        import json
+        import os
         from dnn_compression_tensor_admm_tpu.nlp.cli import main
         out = str(tmp_path / "student.msgpack")
+        pdir = str(tmp_path / "preds")
         variables, hist = main([
             "squad", "--hidden-size", "16", "--num-layers", "1",
             "--num-heads", "2", "--intermediate-size", "32",
             "--max-seq-length", "32", "--batch-size", "8", "--epochs", "1",
             "--linear-format", "none", "--embedding-format", "none",
-            "--save", out])
+            "--save", out, "--output-dir", pdir])
         assert "exact_match" in hist[-1] and "f1" in hist[-1]
-        import os
         assert os.path.exists(out)
+        # reference run_squad writes predictions + n-best files
+        # (run_squad.py:386-387)
+        p = json.load(open(os.path.join(pdir, "predictions.json")))
+        nb = json.load(open(os.path.join(pdir, "nbest_predictions.json")))
+        assert p and nb and isinstance(next(iter(nb.values())), list)
 
 
 class TestDocStride:
