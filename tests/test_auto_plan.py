@@ -41,6 +41,9 @@ REFERENCE_MODEL_NAMES = [
 ]
 
 
+pytestmark = pytest.mark.slow  # heavy e2e module; fast slice: -m 'not slow'
+
+
 class TestReferenceNameParity:
     @pytest.mark.parametrize("name", REFERENCE_MODEL_NAMES)
     def test_resolves(self, name):

@@ -10,6 +10,11 @@ from dnn_compression_tensor_admm_tpu.utils.export import export_model, load_expo
 from dnn_compression_tensor_admm_tpu.data.device_pipeline import sample_batch_repeated
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e module; fast slice: -m 'not slow'
+
+
 class TestExport:
     def test_roundtrip_matches_model(self, tmp_path):
         m = create_model("tkc_resnet32", ratio="3", num_classes=10)

@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools"))
 
 
+pytestmark = pytest.mark.slow  # heavy e2e module; fast slice: -m 'not slow'
+
+
 def _make_tree(root, n_per_class=6, classes=("cat", "dog"), size=(48, 64)):
     from PIL import Image
     rng = np.random.RandomState(0)

@@ -11,6 +11,11 @@ from dnn_compression_tensor_admm_tpu.models import (
     create_model, decompose_params, compression_ratio)
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e module; fast slice: -m 'not slow'
+
+
 def _names(params):
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     return {canonical_param_name(tuple(k.key for k in kp)) for kp, _ in flat}

@@ -12,6 +12,11 @@ from dnn_compression_tensor_admm_tpu.nlp.squad import (
 from dnn_compression_tensor_admm_tpu.nlp.tokenization import (
     WordPieceTokenizer, build_vocab_from_texts)
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e module; fast slice: -m 'not slow'
+
+
 _TINY = BertConfig(vocab_size=0, hidden_size=32, num_layers=2, num_heads=2,
                    intermediate_size=64, max_position=64, dropout=0.0,
                    attn_dropout=0.0)

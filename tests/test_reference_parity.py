@@ -21,6 +21,9 @@ import math
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e module; fast slice: -m 'not slow'
+
+
 REF_TTD = "/root/reference/ttd.py"
 
 

@@ -11,6 +11,11 @@ from dnn_compression_tensor_admm_tpu.nlp.tokenization import (
     WordPieceTokenizer, build_vocab_from_texts)
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e module; fast slice: -m 'not slow'
+
+
 class TestTokenizer:
     def test_wordpiece_greedy_longest_match(self):
         vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,

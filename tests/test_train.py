@@ -10,6 +10,11 @@ from dnn_compression_tensor_admm_tpu.train.losses import (
     cross_entropy, soft_target_cross_entropy, distillation_loss)
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e module; fast slice: -m 'not slow'
+
+
 def _base_cfg(**kw):
     d = dict(model="resnet20", dataset="synthetic-cifar10", batch_size=32,
              epochs=2, steps_per_epoch=6, lr=0.05, smoothing=0.1,
