@@ -160,9 +160,13 @@ def main():
         "## Reading the evidence",
         "",
         "- Per-layer `||W - Z||` residuals (the `admm_residuals` lines in the",
-        "  `*_admm_stdout.log` files) decay monotonically toward 0: the ADMM",
-        "  iterates converge onto the rank-constrained manifold, so the",
-        "  decomposition step loses almost nothing.",
+        "  `*_admm_stdout.log` files) collapse by ~2 orders of magnitude in",
+        "  the first 50 epochs: the ADMM iterates converge onto the",
+        "  rank-constrained manifold, so the decomposition step loses almost",
+        "  nothing. On the easy set they keep shrinking to ~0.1; on the hard",
+        "  set they tick back up late (9-11 total, ~0.5/layer, vs ~7/layer at",
+        "  start) — the data term genuinely fights the constraint there, and",
+        "  the fine-tune phase absorbs the remaining gap (see table).",
         "- `decomposed ... compression 2.83x` is printed by the decompose",
         "  phase from the actual parameter counts (the reference's '3x' rank",
         "  tables give 2.83x whole-model including uncompressed",
