@@ -62,7 +62,7 @@ def run_config(name: str) -> dict:
     metric = c.pop("metric")
     steps = c["steps_per_epoch"]
     cfg = TrainConfig(
-        epochs=4, lr=c.pop("lr", 0.1), smoothing=0.1, admm=True,
+        epochs=8, lr=c.pop("lr", 0.1), smoothing=0.1, admm=True,
         admm_method="pallas", admm_hooi_iters=6, compute_dtype="bfloat16",
         eval_every=10 ** 9, print_fn=lambda *a: None, **c)
     state, hist = train_model(cfg)

@@ -455,12 +455,14 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         if cfg.admm:
             with timer.phase("z_step"):
                 new_admm, residuals = zu_step(state.params, state.admm)  # engines.py:270-271
-                # real device barrier so the z/x phase split is meaningful
-                # (block_until_ready returns early under axon); fetching
-                # the scalar residuals costs ~one small host round-trip
-                # per epoch
+                # a real device barrier makes the z/x phase split
+                # meaningful (block_until_ready returns early under
+                # axon), but costs a host round-trip per epoch — only
+                # pay it when phase timing is being observed; without
+                # --verbose/--profile-dir the z_step row is dispatch-only
                 from ..utils.profiling import device_sync
-                device_sync(residuals)
+                if cfg.verbose_admm or cfg.profile_dir:
+                    device_sync(residuals)
             state = state.replace(admm=new_admm)
             if cfg.verbose_admm:
                 # reference --verbose: per-layer norm(w-z) (admm.py:77-78)
@@ -498,9 +500,15 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                "epoch_time_s": time.time() - t0}
         if cfg.admm:
             # convergence-onto-manifold signal in the persistent log (the
-            # reference's --log residual history, admm.py:24-26)
-            row["admm_residual_total"] = round(
-                float(sum(float(v) for v in residuals.values())), 5)
+            # reference's --log residual history, admm.py:24-26). Summed
+            # on device: per-layer float() fetches would be ~30 serial
+            # host round-trips per epoch (~10% of an epoch under axon)
+            if cfg.verbose_admm or cfg.log_path:
+                # summed on device, ONE fetch (per-layer float() would be
+                # ~30 serial host round-trips); gated so pure-throughput
+                # runs (bench) pay nothing
+                row["admm_residual_total"] = round(float(
+                    jnp.sum(jnp.stack(list(residuals.values())))), 5)
         if ((epoch + 1) % cfg.eval_every == 0 or epoch + 1 == epochs) \
                 and x_va is not None:
             ev = evaluate_model(model, state.variables(), x_va, y_va, info,
