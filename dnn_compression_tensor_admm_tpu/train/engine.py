@@ -270,9 +270,16 @@ def make_streaming_step(model, cfg: TrainConfig, tx, info, program=None,
     return step
 
 
-def make_eval_step(model):
+def make_eval_step(model, mean=None, std=None):
+    """Jitted eval over one padded batch. With `mean`/`std` the batch is
+    accepted as raw uint8 and normalized in-program — the host then ships
+    uint8 instead of float32 (4x less transfer; under the axon tunnel the
+    host->device copy is the eval bottleneck)."""
     @jax.jit
     def eval_step(variables, x, y, valid):
+        if mean is not None:
+            from ..data.device_pipeline import normalize
+            x = normalize(x, mean, std)
         logits = model.apply(variables, x, train=False)
         logits = logits.astype(jnp.float32)
         top1 = (jnp.argmax(logits, -1) == y)
@@ -280,6 +287,7 @@ def make_eval_step(model):
         loss = -jnp.take_along_axis(jax.nn.log_softmax(logits), y[:, None], 1)[:, 0]
         v = valid.astype(jnp.float32)
         return (jnp.sum(top1 * v), jnp.sum(top5 * v), jnp.sum(loss * v), jnp.sum(v))
+    eval_step.takes_uint8 = mean is not None
     return eval_step
 
 
@@ -288,12 +296,13 @@ def evaluate_model(model, variables, x_np, y_np, info, batch_size=512,
     """Top-1/top-5/loss over a numpy eval set (reference evaluate,
     engines.py:36-65)."""
     if eval_step is None:
-        eval_step = make_eval_step(model)
+        eval_step = make_eval_step(model, info.mean, info.std)
+    in_jit_norm = getattr(eval_step, "takes_uint8", False)
     t1 = t5 = ls = n = 0.0
     mean = np.asarray(info.mean) * 255.0
     std = np.asarray(info.std) * 255.0
     for xb, yb, valid in eval_batches(x_np, y_np, batch_size):
-        xf = (xb.astype(np.float32) - mean) / std
+        xf = xb if in_jit_norm else (xb.astype(np.float32) - mean) / std
         a, b, c, d = eval_step(variables, jnp.asarray(xf), jnp.asarray(yb),
                                jnp.asarray(valid))
         t1 += float(a); t5 += float(b); ls += float(c); n += float(d)
@@ -434,7 +443,7 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         run_steps = make_train_step(model, cfg, tx, info_nc,
                                     program=program, teacher=teacher,
                                     teacher_vars=teacher_vars, mesh=mesh)
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, info.mean, info.std)
 
     start_epoch = 0
     if cfg.resume:
@@ -498,22 +507,21 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         row = {"epoch": epoch + 1, "train_loss": train_loss,
                "train_acc": float(metrics["acc"]),
                "epoch_time_s": time.time() - t0}
-        if cfg.admm:
+        if cfg.admm and (cfg.verbose_admm or cfg.log_path):
             # convergence-onto-manifold signal in the persistent log (the
-            # reference's --log residual history, admm.py:24-26). Summed
-            # on device: per-layer float() fetches would be ~30 serial
-            # host round-trips per epoch (~10% of an epoch under axon)
-            if cfg.verbose_admm or cfg.log_path:
-                # summed on device, ONE fetch (per-layer float() would be
-                # ~30 serial host round-trips); gated so pure-throughput
-                # runs (bench) pay nothing
-                row["admm_residual_total"] = round(float(
-                    jnp.sum(jnp.stack(list(residuals.values())))), 5)
+            # reference's --log residual history, admm.py:24-26); summed
+            # on device, ONE fetch (per-layer float() would be ~30 serial
+            # host round-trips per epoch) and gated so pure-throughput
+            # runs (bench) pay nothing
+            row["admm_residual_total"] = round(float(
+                jnp.sum(jnp.stack(list(residuals.values())))), 5)
         if ((epoch + 1) % cfg.eval_every == 0 or epoch + 1 == epochs) \
                 and x_va is not None:
+            t_ev = time.time()
             ev = evaluate_model(model, state.variables(), x_va, y_va, info,
                                 eval_step=eval_step)
             row.update({f"test_{k}": v for k, v in ev.items()})
+            row["eval_time_s"] = round(time.time() - t_ev, 4)
             if cfg.ema_decay > 0:
                 # the EMA shadow exists to be *evaluated* (reference
                 # model_ema, engines.py:143-150,349) — report it alongside
