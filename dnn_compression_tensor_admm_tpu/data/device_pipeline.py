@@ -163,6 +163,31 @@ def augment_batch(x_u8, key, *, pad: int = 4, flip: bool = True,
     return out
 
 
+def prefetch_to_device(iterator, size: int = 2):
+    """Overlap host->device transfer with compute for the streaming
+    (ImageNet-scale) path: keep `size` batches in flight via async
+    `jax.device_put` while the previous step executes. The C++ shard
+    loader already double-buffers decode on the host (dataloader.cc);
+    this covers the remaining host->HBM hop. Yields (images, labels)
+    device arrays."""
+    import collections
+    queue = collections.deque()
+
+    def enqueue(k):
+        for _ in range(k):
+            try:
+                xb, yb, _n = next(iterator)
+            except StopIteration:
+                return
+            queue.append((jax.device_put(jnp.asarray(xb)),
+                          jax.device_put(jnp.asarray(yb))))
+
+    enqueue(size)
+    while queue:
+        yield queue.popleft()
+        enqueue(1)
+
+
 def eval_batches(x: np.ndarray, y: np.ndarray, batch_size: int):
     """Host-side deterministic batching for evaluation (pads the tail
     batch and yields a validity mask)."""

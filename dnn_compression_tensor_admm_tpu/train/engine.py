@@ -428,7 +428,8 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         stream_step = make_streaming_step(model, cfg, tx, info_nc,
                                           program=program, teacher=teacher,
                                           teacher_vars=teacher_vars, mesh=mesh)
-        stream_iter = iter(loader)
+        from ..data.device_pipeline import prefetch_to_device
+        stream_iter = prefetch_to_device(iter(loader), size=2)
         run_steps = None
     else:
         if multi_process:
@@ -484,9 +485,8 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         if streaming:
             accs, losses = [], []
             for _ in range(steps):
-                xb, yb, nvalid = next(stream_iter)
-                state, metrics = stream_step(state, rho, jnp.asarray(xb),
-                                             jnp.asarray(yb))
+                xb, yb = next(stream_iter)  # already on device (prefetched)
+                state, metrics = stream_step(state, rho, xb, yb)
                 losses.append(metrics["loss"]); accs.append(metrics["acc"])
             metrics = {"loss": jnp.mean(jnp.stack(losses)),
                        "acc": jnp.mean(jnp.stack(accs))}
