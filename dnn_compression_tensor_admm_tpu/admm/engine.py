@@ -261,16 +261,20 @@ def _mesh_size(mesh) -> int:
     return int(np.prod(list(mesh.shape.values())))
 
 
-def _project_group_shardmap(g: _Group, x: jax.Array, proj, mesh) -> jax.Array:
+def _project_group_shardmap(g: _Group, x: jax.Array, proj, mesh,
+                            method: str = "subspace",
+                            n_iter: int = 10) -> jax.Array:
     """Layer-sharded Z-step for one bucket (SURVEY.md §5 north star:
     'shard_map over a layers axis + all_gather of projected factors').
 
     The [L, ...] stack is zero-padded to the full device count (both mesh
     axes are flattened so every device helps — the 'data' axis would
     otherwise idle through the Z-step), each device runs the projection
-    on its local block (all linear algebra local), and the result is
-    gathered back to replicated in one collective. Zero-padding is safe:
-    every projection maps the zero tensor to zero (SVD/Gram/HOOI of 0)."""
+    on its local block (all linear algebra local; with method='pallas'
+    the fused kernel runs per-device on the local block, same as the
+    single-device fast path), and the result is gathered back to
+    replicated in one collective. Zero-padding is safe: every projection
+    maps the zero tensor to zero (SVD/Gram/HOOI of 0)."""
     from jax.sharding import PartitionSpec as P
     axes = tuple(mesh.shape.keys())
     n = _mesh_size(mesh)
@@ -278,10 +282,17 @@ def _project_group_shardmap(g: _Group, x: jax.Array, proj, mesh) -> jax.Array:
     pad = (-l) % n
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)])
+
+    def local_block(block):
+        z = None
+        if method == "pallas":
+            z = _project_group_pallas(g, block, n_iter)
+        return jax.vmap(proj)(block) if z is None else z
+
     # check_vma=False: the solver's fori_loop carries device-invariant
     # constants (jnp.eye seeds) that the varying-axis checker rejects;
     # the computation is embarrassingly parallel so the check adds nothing
-    f = jax.shard_map(jax.vmap(proj), mesh=mesh,
+    f = jax.shard_map(local_block, mesh=mesh,
                       in_specs=P(axes), out_specs=P(axes), check_vma=False)
     z = f(x)
     from ..parallel.mesh import constrain_replicated
@@ -328,7 +339,8 @@ def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
                 # formulation reshards at every inner iteration and
                 # measured 20-60x slower on an 8-device mesh), then the
                 # projected stack all-gathers back to replicated once.
-                zs = _project_group_shardmap(g, ws + us, proj, mesh)
+                zs = _project_group_shardmap(g, ws + us, proj, mesh,
+                                             method=method, n_iter=n_iter)
             else:
                 zs = jax.vmap(proj)(ws + us)
         diffs = ws - zs

@@ -65,8 +65,10 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", os.environ["DCTA_PLATFORM"])
     ns = [int(a) for a in (argv or sys.argv[1:])] or [1, 2, 4, 8]
+    if 1 not in ns:
+        ns = [1] + ns  # the 'unsharded' baseline must actually be measured
     rows = [measure(n) for n in ns]
-    base = rows[0]["z_step_ms"]
+    base = next(r["z_step_ms"] for r in rows if r["n_layer_shards"] == 1)
     for r in rows:
         r["speedup_vs_unsharded"] = round(base / r["z_step_ms"], 3)
         print(json.dumps(r))

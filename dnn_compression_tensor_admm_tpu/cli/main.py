@@ -247,12 +247,13 @@ def main(argv=None):
             raise SystemExit("ERROR: --pretrained needs --model-path")
         init_variables = load_variables(args.model_path)
 
-    if args.eval or args.runtime:
+    if args.eval or args.runtime or args.export or args.export_savedmodel:
         kw = {"ratio": args.ratio, "tt_type": args.tt_type} if compressed else {}
         model = create_model(args.model, num_classes=num_classes, dtype=dtype, **kw)
         if init_variables is None:
             if not args.model_path:
-                raise SystemExit("ERROR: --eval/--runtime need --model-path")
+                raise SystemExit("ERROR: --eval/--runtime/--export need "
+                                 "--model-path")
             init_variables = load_variables(args.model_path)
         if args.export or args.export_savedmodel:
             sz = info.input_size
@@ -266,7 +267,8 @@ def main(argv=None):
                 export_savedmodel(model, init_variables, shape,
                                   args.export_savedmodel)
                 print(f"exported SavedModel to {args.export_savedmodel}")
-            return
+            if not (args.eval or args.runtime):
+                return
         if args.runtime:
             r = eval_runtime(model, init_variables, info,
                              batch_size=args.batch_size)

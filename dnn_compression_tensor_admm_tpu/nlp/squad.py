@@ -99,14 +99,22 @@ def _answer_word_span(ex: SquadExample) -> Tuple[Optional[int], Optional[int]]:
     for w in words:
         offsets.append(pos)
         pos += len(w) + 1
-    w0 = w1 = None
-    a_end = ex.answer_start + len(ex.answer_text)
-    for wi, off in enumerate(offsets):
-        span_end = off + len(words[wi])
-        if w0 is None and off <= ex.answer_start < span_end:
-            w0 = wi
-        if off < a_end <= span_end:
-            w1 = wi
+    def find(start):
+        s0 = s1 = None
+        a_end = start + len(ex.answer_text)
+        for wi, off in enumerate(offsets):
+            span_end = off + len(words[wi])
+            if s0 is None and off <= start < span_end:
+                s0 = wi
+            if off < a_end <= span_end:
+                s1 = wi
+        return s0, s1
+
+    w0, w1 = find(ex.answer_start)
+    if w0 is None:
+        # annotation noise: answer_start pointing at the separating space
+        # before the answer (common in real SQuAD rows) — retry one char in
+        w0, w1 = find(ex.answer_start + 1)
     if w0 is not None and w1 is None:
         w1 = w0
     return w0, w1
@@ -141,6 +149,12 @@ def convert_squad_features(examples: List[SquadExample],
                 ans_t0, ans_t1 = tp[0], tp[-1]
 
         max_ctx = max_seq_length - len(q_toks) - 3
+        if max_ctx < 1:
+            raise ValueError(
+                f"max_seq_length={max_seq_length} leaves no room for "
+                f"context after a {len(q_toks)}-token question (+3 "
+                f"specials); raise max_seq_length or lower "
+                f"max_query_length")
         # doc spans (HF: start advances by doc_stride until coverage)
         spans = []
         start = 0

@@ -76,11 +76,16 @@ def shard_dataset_global(x: np.ndarray, y: np.ndarray, mesh) -> tuple:
     dropped, like drop_last). Under a single process this is equivalent to
     a sharded device_put, so it is exercised by the virtual-mesh tests.
     """
+    import math
     from jax.sharding import NamedSharding, PartitionSpec as P
     n_data = mesh.shape["data"]
-    n = (x.shape[0] // n_data) * n_data
-    x, y = x[:n], y[:n]
     pc, pi = jax.process_count(), jax.process_index()
+    # rows must split evenly across BOTH the data shards and the
+    # contributing processes (n_data and process_count need not divide
+    # each other, e.g. 2 hosts with --layer-shards 8 -> n_data=1)
+    unit = math.lcm(n_data, pc)
+    n = (x.shape[0] // unit) * unit
+    x, y = x[:n], y[:n]
     sx = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
     sy = NamedSharding(mesh, P("data"))
     per = n // pc

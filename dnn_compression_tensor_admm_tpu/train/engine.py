@@ -336,6 +336,13 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
     """
     log = cfg.print_fn
     streaming = cfg.shard_dir is not None
+    if streaming and mesh is not None and jax.process_count() > 1:
+        # per-process loader batches are process-local arrays; assembling
+        # them into global arrays for a multi-host mesh is not wired yet
+        raise NotImplementedError(
+            "--shard-dir streaming is single-process for now: multi-host "
+            "runs need the HBM-resident dataset path (global sharded "
+            "arrays), or one process per run")
     if streaming:
         import glob as _glob
         from ..data.datasets import dataset_info as _di

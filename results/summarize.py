@@ -70,6 +70,11 @@ def phase_block(out_dir, fmt, label):
     ft_time = sum(r["epoch_time_s"] for r in f)
     evals_a = [r for r in a if "test_acc1" in r]
     evals_f = [r for r in f if "test_acc1" in r]
+    if not (evals_a and evals_f and tot):
+        return [f"### {label}: INCOMPLETE (no eval rows / residuals yet)"], None
+    # sample epochs that exist (short smoke runs have < 50 epochs)
+    marks = sorted({0, min(9, len(tot) - 1), min(49, len(tot) - 1),
+                    len(tot) - 1})
 
     lines = [f"### {label}", ""]
     lines.append(f"- **ADMM phase** ({len(a)} epochs, {admm_time:.0f}s wall): "
@@ -77,11 +82,10 @@ def phase_block(out_dir, fmt, label):
                  f"{a[-1]['train_acc']:.3f} (ep{len(a)}); "
                  f"test top-1 {evals_a[-1]['test_acc1']:.2f}% at end")
     lines.append(f"- **Residual decay** (sum over {len(res[0])} target "
-                 f"layers, {len(nz0)} rank-truncated): "
-                 f"||W-Z|| total {tot[0]:.1f} (ep1) -> {tot[9]:.2f} (ep10) "
-                 f"-> {tot[49]:.3f} (ep50) -> {tot[-1]:.3f} (ep{len(tot)})")
+                 f"layers, {len(nz0)} rank-truncated): ||W-Z|| total "
+                 + " -> ".join(f"{tot[i]:.3f} (ep{i + 1})" for i in marks))
     if worst_layer:
-        w = [res[i][worst_layer] for i in (0, 9, 49, len(res) - 1)]
+        w = [res[i][worst_layer] for i in marks]
         lines.append(f"- worst layer `{worst_layer}`: "
                      + " -> ".join(f"{v:.4g}" for v in w))
     lines.append(f"- **Decompose**: compression **{ratio}x** "

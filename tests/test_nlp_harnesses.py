@@ -180,6 +180,29 @@ class TestDocStride:
         assert preds[0]["text"] == " ".join(
             words[f.window_words[0]:f.window_words[2] + 1])
 
+    def test_no_context_room_raises_not_hangs(self):
+        # regression: max_ctx <= 0 used to loop forever in span generation
+        import pytest as _pytest
+        from dnn_compression_tensor_admm_tpu.nlp.squad import (
+            SquadExample, convert_squad_features)
+        q = " ".join(f"q{i}" for i in range(30))  # >= max_seq_length tokens
+        ex = [SquadExample(q, "w0 w1 w2", "w1", 3)]
+        tok = WordPieceTokenizer(build_vocab_from_texts([q, "w0 w1 w2"]))
+        with _pytest.raises(ValueError, match="no room for"):
+            convert_squad_features(ex, tok, max_seq_length=16, doc_stride=8)
+
+    def test_answer_start_on_space_recovers(self):
+        # regression: answer_start pointing at the separating space (real
+        # SQuAD annotation noise) silently produced no span supervision
+        from dnn_compression_tensor_admm_tpu.nlp.squad import (
+            SquadExample, convert_squad_features)
+        ctx = "aa bb target cc"
+        off_by_one = ctx.index("target") - 1  # the space before it
+        ex = [SquadExample("find target", ctx, "target", off_by_one)]
+        tok = WordPieceTokenizer(build_vocab_from_texts([ctx, "find target"]))
+        feats = convert_squad_features(ex, tok, 32, 16)
+        assert any(f.start_position > 0 for f in feats)
+
     def test_normalized_em_f1(self):
         from dnn_compression_tensor_admm_tpu.nlp.squad import (
             exact_match_score, f1_score)
