@@ -64,6 +64,10 @@ def parse_args(argv=None):
     p.add_argument("--tt-type", default="general", choices=["general", "special"])
     p.add_argument("--admm-method", default="pallas",
                    choices=["pallas", "subspace", "gram", "svd"])
+    p.add_argument("--adjust-rho", action="store_true",
+                   help="5x rho boost after 85%% of epochs (reference "
+                        "admm.py:87-89; its call site is commented out at "
+                        "engines.py:272, so off by default)")
     p.add_argument("--orthogonal", action="store_true")
     # pipeline modes
     p.add_argument("--decompose", action="store_true")
@@ -184,7 +188,7 @@ def main(argv=None):
         sampling=args.sampling,
         admm=args.admm, rho=args.rho, fmt=args.fmt, ratio=args.ratio,
         tt_type=args.tt_type, admm_method=args.admm_method,
-        orthogonal=args.orthogonal,
+        adjust_rho_late=args.adjust_rho, orthogonal=args.orthogonal,
         distillation_type=args.distillation_type,
         distillation_alpha=args.distillation_alpha,
         distillation_tau=args.distillation_tau,
