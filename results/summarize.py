@@ -182,6 +182,12 @@ def main():
         "  (~0.5-1.3 s/epoch on one chip; the bench's 196-step epoch at",
         "  ~334 it/s).",
         ""]
+    extra = os.path.join(ROOT, "results", "RESULTS_extra.md")
+    if os.path.exists(extra):
+        # hand-written sections for non-flagship evidence runs (DeiT
+        # pipeline, ablations) survive regeneration
+        parts.append(open(extra).read().rstrip())
+        parts.append("")
     out = os.path.join(ROOT, "RESULTS.md")
     with open(out, "w") as fh:
         fh.write("\n".join(parts))
