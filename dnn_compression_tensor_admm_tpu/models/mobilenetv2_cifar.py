@@ -83,8 +83,11 @@ class MobileNetV2Cifar(nn.Module):
             prefix = f"bottlenecks.{i}"
             y = BaseBlock(inp, oup, t, ds, prefix, plan=self.plan,
                           mode=self.mode, dtype=self.dtype, name=prefix)(y, train=train)
-        y = nn.Conv(1280, (1, 1), use_bias=False, kernel_init=_KAIMING,
-                    dtype=self.dtype, name="conv1")(y)
+        # 1x1 head IS a compression target when the plan names it
+        # (reference mobilenetv2_cifar_tt.py:105-111)
+        y = make_conv(_BLOCKS[-1][1], 1280, 1, plan=self.plan,
+                      mode=self.mode, key="conv1.weight", name="conv1",
+                      dtype=self.dtype)(y)
         y = _relu6(_bn(train, self.dtype, "bn1")(y))
         y = jnp.mean(y, axis=(1, 2))
         return nn.Dense(self.num_classes, name="fc")(y.astype(jnp.float32))

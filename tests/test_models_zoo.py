@@ -54,6 +54,27 @@ class TestMobileNetV2:
         vc, _ = _init(mc, (1, 32, 32, 3))
         assert compression_ratio(v, vc) > 1.3
 
+    def test_cifar_decompose_params_apply_all_formats(self):
+        # regression: the 1x1 head conv ('conv1') is a plan target
+        # (reference mobilenetv2_cifar_tt.py:105-111) — the compressed
+        # model must substitute it, or decompose_params produces a tree
+        # the model cannot consume (found by the round-3 evidence run)
+        from dnn_compression_tensor_admm_tpu.models import decompose_params
+        dense = create_model("mobilenetv2_cifar", num_classes=10)
+        dv, x = _init(dense, (1, 32, 32, 3))
+        for name, fmt in (("svdc_mobilenetv2_cifar", "svd"),
+                          ("tkc_mobilenetv2_cifar", "tk")):
+            plan = get_rank_plan(name, fmt, "2")
+            assert "conv1.weight" in plan.names()  # head IS compressed
+            iv = decompose_params(dv, plan)
+            mc = create_model(name, ratio="2", num_classes=10)
+            variables = {"params": iv["params"]}
+            if "batch_stats" in dv:
+                variables["batch_stats"] = iv.get("batch_stats",
+                                                  dv["batch_stats"])
+            y = mc.apply(variables, x, train=False)
+            assert y.shape == (1, 10), name
+
 
 class TestDenseNet:
     def test_densenet40_plan_coverage(self):
