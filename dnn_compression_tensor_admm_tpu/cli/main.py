@@ -233,6 +233,18 @@ def main(argv=None):
         print(json.dumps(rep))
         return
 
+    from ..utils import load_any_variables
+
+    def _template(model_name, compressed_kw=False):
+        # flax variables template for mapping torch .pth checkpoints
+        # (reference dense checkpoints / torchvision / timm weights)
+        kw = ({"ratio": args.ratio, "tt_type": args.tt_type}
+              if compressed_kw else {})
+        m = create_model(model_name, num_classes=num_classes, **kw)
+        sz = info.input_size
+        return m.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, sz, sz, len(info.mean))), train=False)
+
     init_variables = None
     if args.decompose:
         if compressed is None:
@@ -240,7 +252,8 @@ def main(argv=None):
         if not args.model_path:
             raise SystemExit("ERROR: --decompose needs --model-path (dense ckpt)")
         base, fmt, _ = compressed
-        dense_vars = load_variables(args.model_path)
+        dense_vars = load_any_variables(args.model_path,
+                                        lambda: _template(base))
         plan = get_rank_plan(args.model, "tk" if fmt == "stftk" else fmt,
                              args.ratio, args.tt_type)
         init_variables = decompose_params(dense_vars, plan)
@@ -249,7 +262,9 @@ def main(argv=None):
     elif args.pretrained:
         if not args.model_path:
             raise SystemExit("ERROR: --pretrained needs --model-path")
-        init_variables = load_variables(args.model_path)
+        init_variables = load_any_variables(
+            args.model_path,
+            lambda: _template(args.model, compressed_kw=compressed is not None))
 
     if args.eval or args.runtime or args.export or args.export_savedmodel:
         kw = {"ratio": args.ratio, "tt_type": args.tt_type} if compressed else {}
@@ -258,7 +273,10 @@ def main(argv=None):
             if not args.model_path:
                 raise SystemExit("ERROR: --eval/--runtime/--export need "
                                  "--model-path")
-            init_variables = load_variables(args.model_path)
+            init_variables = load_any_variables(
+                args.model_path,
+                lambda: _template(args.model,
+                                  compressed_kw=compressed is not None))
         if args.export or args.export_savedmodel:
             sz = info.input_size
             shape = (args.batch_size, sz, sz, len(info.mean))

@@ -163,15 +163,22 @@ def augment_batch(x_u8, key, *, pad: int = 4, flip: bool = True,
     return out
 
 
-def prefetch_to_device(iterator, size: int = 2):
+def prefetch_to_device(iterator, size: int = 2, put=None):
     """Overlap host->device transfer with compute for the streaming
     (ImageNet-scale) path: keep `size` batches in flight via async
     `jax.device_put` while the previous step executes. The C++ shard
     loader already double-buffers decode on the host (dataloader.cc);
     this covers the remaining host->HBM hop. Yields (images, labels)
-    device arrays."""
+    device arrays.
+
+    `put(xb, yb) -> (images, labels)` overrides the transfer — the
+    multi-host mesh path passes `make_global_batch_fn(mesh, ...)` so each
+    yielded batch is a globally-sharded array over the 'data' axis."""
     import collections
     queue = collections.deque()
+    if put is None:
+        put = lambda xb, yb: (jax.device_put(jnp.asarray(xb)),  # noqa: E731
+                              jax.device_put(jnp.asarray(yb)))
 
     def enqueue(k):
         for _ in range(k):
@@ -179,8 +186,7 @@ def prefetch_to_device(iterator, size: int = 2):
                 xb, yb, _n = next(iterator)
             except StopIteration:
                 return
-            queue.append((jax.device_put(jnp.asarray(xb)),
-                          jax.device_put(jnp.asarray(yb))))
+            queue.append(put(xb, yb))
 
     enqueue(size)
     while queue:

@@ -97,6 +97,47 @@ def shard_dataset_global(x: np.ndarray, y: np.ndarray, mesh) -> tuple:
     return gx, gy
 
 
+def make_global_batch_fn(mesh, batch_size: int):
+    """Assembler for the STREAMING input path on a mesh: each process's
+    loader yields its local slice of the global batch, and
+    `jax.make_array_from_process_local_data` builds the globally-sharded
+    batch over the mesh 'data' axis (the role DistributedSampler +
+    DataLoader play in the reference, datasets.py:87-100). Single-process
+    it degenerates to a sharded device_put, so the virtual 8-device mesh
+    exercises the identical code path (tests/test_dist.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    pc = jax.process_count()
+    n_data = mesh.shape["data"]
+    if batch_size % max(n_data, pc) != 0:
+        raise ValueError(
+            f"--batch-size {batch_size} must divide over the mesh 'data' "
+            f"axis ({n_data}) and the {pc} processes")
+
+    def to_global(xb: np.ndarray, yb: np.ndarray):
+        xb = np.ascontiguousarray(xb)
+        yb = np.ascontiguousarray(yb)
+        sx = NamedSharding(mesh, P("data", *([None] * (xb.ndim - 1))))
+        sy = NamedSharding(mesh, P("data"))
+        gx = jax.make_array_from_process_local_data(
+            sx, xb, global_shape=(xb.shape[0] * pc,) + xb.shape[1:])
+        gy = jax.make_array_from_process_local_data(
+            sy, yb, global_shape=(yb.shape[0] * pc,))
+        return gx, gy
+
+    return to_global
+
+
+def partition_shard_paths(paths, process_index: int, process_count: int,
+                          seed: int = 0):
+    """Split DCTA shard files across processes (DistributedSampler role).
+    With fewer files than processes every process reads all files but
+    reshuffles with a different seed (sampling disjointness then comes
+    from the loader's per-process shuffle order)."""
+    if process_count <= 1 or len(paths) < process_count:
+        return list(paths), seed + process_index
+    return list(paths)[process_index::process_count], seed
+
+
 def replicate_state_global(state, mesh):
     """Turn identical process-local TrainState arrays into replicated
     global arrays over `mesh`, so a jitted step over a multi-process mesh

@@ -82,7 +82,13 @@ class TrainConfig:
     teacher_variables: Any = None
     # misc
     sampling: str = "shuffle"    # 'shuffle' (per-epoch perm, contiguous batches)
+                                 # | 'perm' (per-epoch perm, per-step index gather
+                                 #   — same without-replacement semantics, no
+                                 #   materialized shuffled dataset copy)
                                  # | 'replacement' (per-step uniform gather)
+    dataset_mode: str = "args"   # 'args' (HBM dataset as jit arguments) |
+                                 # 'closure' (inlined literal; single-process
+                                 #  only, used by bench/ab_args.py A/B)
     verbose_admm: bool = False   # per-layer ||W-Z|| logging (reference --verbose)
     profile_dir: Optional[str] = None  # write a jax.profiler trace of epoch 1
     ema_decay: float = 0.0
@@ -122,9 +128,25 @@ def make_train_step(model, cfg: TrainConfig, tx, info,
     mix_active = cfg.mixup > 0 or cfg.cutmix > 0
     criterion = _criterion(cfg)
 
-    def one_step(state: TrainState, rho, step_images, step_labels, i, shuffled):
+    def one_step(state: TrainState, rho, step_images, step_labels, i, shuffled,
+                 perm=None):
         rng, k_batch, k_aug, k_mix, k_drop = jax.random.split(state.rng, 5)
-        if shuffled:
+        if perm is not None:
+            # 'perm' sampling: contiguous slice of the epoch permutation,
+            # then a 256-row gather from the *unshuffled* dataset. The
+            # per-step gather overlaps with compute under XLA; the 150 MB
+            # epoch-start materialization of a shuffled copy disappears.
+            from ..data.device_pipeline import pl_cdiv
+            n = step_images.shape[0]
+            base = (pl_cdiv(cfg.batch_size, cfg.repeated_aug)
+                    if cfg.repeated_aug > 1 else cfg.batch_size)
+            start = (i * base) % max(n - base + 1, 1)
+            idx = jax.lax.dynamic_slice_in_dim(perm, start, base)
+            if cfg.repeated_aug > 1:
+                idx = jnp.repeat(idx, cfg.repeated_aug)[:cfg.batch_size]
+            xb = jnp.take(step_images, idx, axis=0)
+            yb = jnp.take(step_labels, idx, axis=0)
+        elif shuffled:
             if cfg.repeated_aug > 1:
                 xb, yb = batch_at_repeated(step_images, step_labels, i,
                                            cfg.batch_size, cfg.repeated_aug)
@@ -190,17 +212,22 @@ def make_train_step(model, cfg: TrainConfig, tx, info,
         # epoch-shuffle sampling needs n >= batch; tiny (test) datasets
         # fall back to per-step with-replacement gathers (static: depends
         # only on the argument's shape)
-        shuffled = (cfg.sampling == "shuffle"
-                    and images.shape[0] >= cfg.batch_size)
-        if shuffled:
+        mode = (cfg.sampling if images.shape[0] >= cfg.batch_size
+                else "replacement")
+        shuffled = mode == "shuffle"
+        perm = None
+        if mode in ("shuffle", "perm"):
             k_shuf, rng = jax.random.split(state.rng)
             state = state.replace(rng=rng)
+        if shuffled:
             step_images, step_labels = shuffle_epoch(images, labels, k_shuf)
         else:
             step_images, step_labels = images, labels
+            if mode == "perm":
+                perm = jax.random.permutation(k_shuf, images.shape[0])
 
         def body(s, i):
-            return one_step(s, rho, step_images, step_labels, i, shuffled)
+            return one_step(s, rho, step_images, step_labels, i, shuffled, perm)
         state, metrics = jax.lax.scan(body, state, jnp.arange(num_steps))
         return state, jax.tree.map(jnp.mean, metrics)
 
@@ -336,13 +363,6 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
     """
     log = cfg.print_fn
     streaming = cfg.shard_dir is not None
-    if streaming and mesh is not None and jax.process_count() > 1:
-        # per-process loader batches are process-local arrays; assembling
-        # them into global arrays for a multi-host mesh is not wired yet
-        raise NotImplementedError(
-            "--shard-dir streaming is single-process for now: multi-host "
-            "runs need the HBM-resident dataset path (global sharded "
-            "arrays), or one process per run")
     if streaming:
         import glob as _glob
         from ..data.datasets import dataset_info as _di
@@ -353,6 +373,12 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         val_paths = sorted(_glob.glob(os.path.join(cfg.shard_dir, "val-*.dcta")))
         if not train_paths:
             raise FileNotFoundError(f"no train-*.dcta shards in {cfg.shard_dir}")
+        # multi-host: each process loads its partition of the shard files
+        # and contributes batch/process_count rows per step; the global
+        # batch is assembled below (parallel/dist.py::make_global_batch_fn)
+        from ..parallel.dist import partition_shard_paths
+        train_paths, loader_seed = partition_shard_paths(
+            train_paths, jax.process_index(), jax.process_count(), cfg.seed)
         x_va, y_va = (np.concatenate(a) for a in zip(*(read_shard(p) for p in val_paths))) \
             if val_paths else (None, None)
     else:
@@ -369,10 +395,14 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                             if _is_compressed(cfg.model) else {}))
 
     if streaming:
-        loader = NativeLoader(train_paths, cfg.batch_size,
-                              workers=cfg.loader_workers, seed=cfg.seed,
+        per_proc_batch = cfg.batch_size // jax.process_count()
+        if per_proc_batch * jax.process_count() != cfg.batch_size:
+            raise ValueError(f"--batch-size {cfg.batch_size} must divide "
+                             f"across {jax.process_count()} processes")
+        loader = NativeLoader(train_paths, per_proc_batch,
+                              workers=cfg.loader_workers, seed=loader_seed,
                               drop_last=True, loop=True)
-        steps = cfg.steps_per_epoch or max(1, loader.total // cfg.batch_size)
+        steps = cfg.steps_per_epoch or max(1, loader.total // per_proc_batch)
     else:
         steps = cfg.steps_per_epoch or max(1, len(x_tr) // cfg.batch_size)
     sched = make_schedule(cfg.sched, cfg.lr, cfg.epochs, steps,
@@ -436,7 +466,11 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                                           program=program, teacher=teacher,
                                           teacher_vars=teacher_vars, mesh=mesh)
         from ..data.device_pipeline import prefetch_to_device
-        stream_iter = prefetch_to_device(iter(loader), size=2)
+        put = None
+        if mesh is not None:
+            from ..parallel.dist import make_global_batch_fn
+            put = make_global_batch_fn(mesh, cfg.batch_size)
+        stream_iter = prefetch_to_device(iter(loader), size=2, put=put)
         run_steps = None
     else:
         if multi_process:
@@ -451,6 +485,20 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         run_steps = make_train_step(model, cfg, tx, info_nc,
                                     program=program, teacher=teacher,
                                     teacher_vars=teacher_vars, mesh=mesh)
+        if cfg.dataset_mode == "closure":
+            # A/B instrumentation (bench/ab_args.py): inline the dataset
+            # into the program as a literal, the round-2 design. Keyed on
+            # the data in the compile cache and incompatible with
+            # multi-host global arrays — not for production runs.
+            if multi_process:
+                raise ValueError("dataset_mode='closure' is single-process")
+            inner, imgs_c, lbls_c = run_steps, images, labels
+
+            @partial(jax.jit, static_argnames=("num_steps",),
+                     donate_argnums=(0,))
+            def run_steps_closure(state, rho, num_steps: int):
+                return inner(state, rho, imgs_c, lbls_c, num_steps)
+            run_steps = lambda state, rho, _i, _l, n: run_steps_closure(state, rho, n)  # noqa: E731
     eval_step = make_eval_step(model, info.mean, info.std)
 
     start_epoch = 0
@@ -481,10 +529,18 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                 if cfg.verbose_admm or cfg.profile_dir:
                     device_sync(residuals)
             state = state.replace(admm=new_admm)
+            per_layer_res = None
+            if cfg.verbose_admm or cfg.log_path:
+                # ONE stacked device fetch for all layers (serial float()
+                # per layer would be ~30 tunnel round-trips per epoch)
+                keys = sorted(residuals)
+                vals = np.asarray(jax.device_get(
+                    jnp.stack([residuals[k] for k in keys])))
+                per_layer_res = {k: round(float(v), 5)
+                                 for k, v in zip(keys, vals)}
             if cfg.verbose_admm:
                 # reference --verbose: per-layer norm(w-z) (admm.py:77-78)
-                log(json.dumps({"admm_residuals": {
-                    k: round(float(v), 5) for k, v in residuals.items()}}))
+                log(json.dumps({"admm_residuals": per_layer_res}))
         prof_ctx = (trace(cfg.profile_dir)
                     if (cfg.profile_dir and epoch == start_epoch) else None)
         if prof_ctx is not None:
@@ -514,14 +570,16 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         row = {"epoch": epoch + 1, "train_loss": train_loss,
                "train_acc": float(metrics["acc"]),
                "epoch_time_s": time.time() - t0}
-        if cfg.admm and (cfg.verbose_admm or cfg.log_path):
-            # convergence-onto-manifold signal in the persistent log (the
-            # reference's --log residual history, admm.py:24-26); summed
-            # on device, ONE fetch (per-layer float() would be ~30 serial
-            # host round-trips per epoch) and gated so pure-throughput
-            # runs (bench) pay nothing
-            row["admm_residual_total"] = round(float(
-                jnp.sum(jnp.stack(list(residuals.values())))), 5)
+        if cfg.admm and per_layer_res is not None:
+            # convergence-onto-manifold signal in the persistent log: the
+            # reference's --log records the per-layer ||W-Z|| HISTORY
+            # (admm.py:24-26) — carry the full dict in every logged row
+            # (one stacked fetch per epoch, already paid above) plus the
+            # total; gated so pure-throughput runs (bench) pay nothing
+            row["admm_residual_total"] = round(
+                float(sum(per_layer_res.values())), 5)
+            if cfg.log_path:
+                row["admm_residuals"] = per_layer_res
         if ((epoch + 1) % cfg.eval_every == 0 or epoch + 1 == epochs) \
                 and x_va is not None:
             t_ev = time.time()

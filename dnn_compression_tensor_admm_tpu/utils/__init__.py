@@ -1,2 +1,3 @@
-from .checkpoint import save_variables, load_variables, save_train_state, load_train_state
+from .checkpoint import (save_variables, load_variables, load_any_variables,
+                         save_train_state, load_train_state)
 from .flops import model_flops_params

@@ -13,6 +13,21 @@ import jax
 import jax.numpy as jnp
 
 
+def load_any_variables(path: str, template_fn=None):
+    """Read model variables from either this framework's msgpack or a
+    PyTorch ``.pth``/``.pt`` state dict (the reference's checkpoint
+    format — resnet_cifar_tt.py:365-374, main.py:79-90). For torch files
+    `template_fn()` must supply the flax variables template the tensors
+    are mapped onto (name + OIHW→HWIO layout mapping,
+    utils/torch_import.py)."""
+    if path.endswith((".pth", ".pt")):
+        if template_fn is None:
+            raise ValueError("torch checkpoints need a model template")
+        from .torch_import import load_torch_state_dict, torch_to_variables
+        return torch_to_variables(load_torch_state_dict(path), template_fn())
+    return load_variables(path)
+
+
 def save_variables(path: str, variables) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     data = flax.serialization.msgpack_serialize(

@@ -174,3 +174,29 @@ class TestStreaming:
         state, hist = train_model(cfg)
         assert np.isfinite(hist[-1]["train_loss"])
         assert "test_acc1" in hist[-1]
+
+    def test_streaming_on_mesh_global_batches(self, tmp_path):
+        """--shard-dir + mesh: loader batches are assembled into
+        globally-sharded arrays over the 'data' axis
+        (make_global_batch_fn) — the multi-host streaming path, exercised
+        single-process on the virtual 8-device mesh (VERDICT r3 item 6:
+        this combination used to raise NotImplementedError)."""
+        import numpy as np
+        from dnn_compression_tensor_admm_tpu.data.records import write_shards
+        from dnn_compression_tensor_admm_tpu.data.datasets import load_dataset
+        from dnn_compression_tensor_admm_tpu.parallel.mesh import make_mesh
+        x, y, info = load_dataset("synthetic-cifar10", True, None,
+                                  synthetic_size=256)
+        write_shards(x, y, str(tmp_path), samples_per_shard=256, prefix="train")
+        cfg = _base_cfg(model="resnet20", epochs=1, steps_per_epoch=3,
+                        batch_size=64, shard_dir=str(tmp_path))
+        mesh = make_mesh()
+        state, hist = train_model(cfg, mesh=mesh)
+        assert np.isfinite(hist[-1]["train_loss"])
+
+    def test_streaming_batch_not_divisible_rejected(self, tmp_path):
+        from dnn_compression_tensor_admm_tpu.parallel.dist import make_global_batch_fn
+        from dnn_compression_tensor_admm_tpu.parallel.mesh import make_mesh
+        import pytest
+        with pytest.raises(ValueError):
+            make_global_batch_fn(make_mesh(), 12)  # 12 % 8 devices != 0
