@@ -282,6 +282,15 @@ def _project_group_shardmap(g: _Group, x: jax.Array, proj, mesh,
     pad = (-l) % n
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)])
+    # pin the padded stack REPLICATED: otherwise GSPMD propagates the
+    # shard_map's tiled input spec up through the concatenate/stack and
+    # partitions them as all-to-all + collective-permute chains (measured:
+    # 65 collectives for 4 buckets on the 8-device mesh). Replicated ->
+    # tiled at the shard_map boundary is then a local dynamic-slice, and
+    # the program keeps exactly one all-gather per bucket
+    # (tests/test_dist.py::TestZStepCollectiveStructure).
+    from ..parallel.mesh import constrain_replicated
+    x = constrain_replicated(x, mesh)
 
     def local_block(block):
         z = None

@@ -56,6 +56,42 @@ def measure(n_devices: int, batch_per_device: int = 32, steps: int = 4,
             "images_per_s": steps * cfg.batch_size / per_epoch}
 
 
+def measure_control(n_devices: int, size: int = 768, iters: int = 12,
+                    reps: int = 5) -> dict:
+    """Compute-bound, communication-free control: each device runs an
+    identical local matmul chain under shard_map (fixed FLOPs/device).
+    On real hardware this weak-scales at ~1.0 by construction, so any
+    efficiency the control itself loses measures the HOST's artifact
+    (virtual CPU devices share cores) — the denominator that separates
+    measurement artifact from real parallel inefficiency (VERDICT r3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from ..utils.profiling import device_sync
+    mesh = Mesh(np.array(jax.devices()[:n_devices]), ("d",))
+    x = jnp.ones((n_devices, size, size), jnp.float32)
+    w = jnp.eye(size, dtype=jnp.float32) * 0.999
+
+    def local(block, w):
+        def body(_, b):
+            return jnp.einsum("lij,jk->lik", b, w) + 1e-6
+        return jax.lax.fori_loop(0, iters, body, block)
+
+    f = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P("d"), P()),
+                              out_specs=P("d")))
+    y = f(x, w)
+    device_sync(y)
+    t0 = time.time()
+    for _ in range(reps):
+        y = f(y, w)
+    device_sync(y)
+    dt = (time.time() - t0) / reps
+    flops = 2.0 * n_devices * iters * size ** 3
+    return {"devices": n_devices, "control_s": dt, "control_gflops_s":
+            round(flops / dt / 1e9, 1)}
+
+
 def main(argv=None):
     if os.environ.get("DCTA_PLATFORM"):
         import jax
@@ -68,12 +104,23 @@ def main(argv=None):
     admm = "--dense" not in argv
     ns = [int(a) for a in argv if not a.startswith("-")] or [1, 2, 4, 8]
     steps = 16 if not admm else 4
+    controls = {n: measure_control(n) for n in ns}
     results = [measure(n, steps=steps, admm=admm) for n in ns]
     base = results[0]
+    cbase = controls[base["devices"]]
     for r in results:
-        r["scaling_efficiency_vs_1dev"] = round(
-            (r["images_per_s"] / base["images_per_s"]) /
-            (r["devices"] / base["devices"]), 3)
+        c = controls[r["devices"]]
+        raw = ((r["images_per_s"] / base["images_per_s"]) /
+               (r["devices"] / base["devices"]))
+        # the control's own weak-scaling efficiency at this device count
+        # (time should stay constant; shared host cores make it grow)
+        host_artifact = cbase["control_s"] / c["control_s"]
+        r["control_gflops_s"] = c["control_gflops_s"]
+        r["scaling_efficiency_vs_1dev"] = round(raw, 3)
+        r["host_artifact_efficiency"] = round(host_artifact, 3)
+        # efficiency with the host's shared-core artifact divided out:
+        # ~1.0 here means the sharded program itself adds no overhead
+        r["corrected_efficiency"] = round(raw / max(host_artifact, 1e-9), 3)
         print(json.dumps(r))
     return results
 

@@ -63,7 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--ratio", default="2", type=str)
     p.add_argument("--tt-type", default="general", choices=["general", "special"])
     p.add_argument("--admm-method", default="pallas",
-                   choices=["pallas", "subspace", "gram", "svd"])
+                   choices=["pallas", "subspace", "gram", "svd", "ns"],
+                   help="Z-step subspace solver; 'ns' is the matmul-only "
+                        "Newton-Schulz path (no LAPACK/eigh custom calls "
+                        "anywhere — the mesh-sharding-friendly variant)")
     p.add_argument("--adjust-rho", action="store_true",
                    help="5x rho boost after 85%% of epochs (reference "
                         "admm.py:87-89; its call site is commented out at "
@@ -116,6 +119,12 @@ def parse_args(argv=None):
                         "tools/imagefolder_to_dcta.py")
     p.add_argument("--loader-workers", default=4, type=int,
                    help="decode threads for the native shard loader")
+    p.add_argument("--shard-cache", default=None, choices=["hbm"],
+                   help="with --shard-dir: load the shards whole into the "
+                        "HBM-resident in-jit pipeline instead of streaming "
+                        "(for datasets that fit on device; skips the "
+                        "per-step host->HBM hop, which dominates behind "
+                        "the axon tunnel)")
     p.add_argument("--flops", action="store_true",
                    help="print FLOPs/params accounting for the model "
                         "(reference forward_flops / compute_flops_params)")
@@ -200,7 +209,8 @@ def main(argv=None):
         verbose_admm=args.verbose, profile_dir=args.profile_dir,
         compute_dtype=None if args.fp32 else "bfloat16",
         synthetic_size=args.synthetic_size, eval_every=args.eval_every,
-        shard_dir=args.shard_dir, loader_workers=args.loader_workers,
+        shard_dir=args.shard_dir, shard_cache=args.shard_cache,
+        loader_workers=args.loader_workers,
     )
 
     info = dataset_info(args.dataset)

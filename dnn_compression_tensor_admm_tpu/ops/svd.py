@@ -36,6 +36,25 @@ def _cholqr(a: jax.Array) -> jax.Array:
     return jax.lax.linalg.triangular_solve(r2, q.T, left_side=True, lower=True).T
 
 
+def _ns_orth(a: jax.Array, iters: int = 12) -> jax.Array:
+    """MATMUL-ONLY column orthonormalization: Newton-Schulz iteration for
+    ``a @ (a^T a)^(-1/2)``. No eigh/cholesky/triangular_solve — every op
+    lowers to plain HLO dots, so it runs at full MXU rate on TPU and,
+    unlike the LAPACK custom calls, does not serialize across the devices
+    of a shard_map (the virtual-mesh scaling control in
+    bench/zstep_ab.py, VERDICT r3 item 3). Scaling by the Frobenius norm
+    puts every singular value in (0, 1], inside the iteration's cubic
+    convergence basin."""
+    x = a / (jnp.linalg.norm(a) + 1e-12)
+    eye = jnp.eye(a.shape[1], dtype=a.dtype)
+
+    def body(_, x):
+        s = mm(x.T, x)
+        return mm(x, 0.125 * (15 * eye - mm(s, 10 * eye - 3 * s)))
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
 def truncated_left_sv(a: jax.Array, rank: int, method: str = "svd",
                       subspace_iters: int = 8):
     """Top-`rank` left singular vectors of 2-D array `a`.
@@ -65,6 +84,13 @@ def truncated_left_sv(a: jax.Array, rank: int, method: str = "svd",
         q0 = jnp.eye(m, rank, dtype=a.dtype)
         return jax.lax.fori_loop(
             0, subspace_iters, lambda _, q: _cholqr(mm(g, q)), q0)
+    if method == "ns":
+        # orthogonal iteration with Newton-Schulz orthonormalization:
+        # the whole solver is matmuls (no LAPACK custom calls anywhere)
+        g = mm(a, a.T)
+        q0 = jnp.eye(m, rank, dtype=a.dtype)
+        return jax.lax.fori_loop(
+            0, subspace_iters, lambda _, q: _ns_orth(mm(g, q)), q0)
     u, _, _ = jnp.linalg.svd(a, full_matrices=False)
     return u[:, :rank]
 

@@ -96,6 +96,10 @@ class TrainConfig:
     compute_dtype: Optional[str] = "bfloat16"
     synthetic_size: Optional[int] = None  # cap synthetic dataset size (tests)
     shard_dir: Optional[str] = None   # DCTA record shards -> streaming input
+    shard_cache: Optional[str] = None  # 'hbm': load the shard files whole
+                                       # into the HBM-resident scan path
+                                       # (datasets that fit on device skip
+                                       # the per-step host->HBM hop)
     loader_workers: int = 4
     log_path: Optional[str] = None
     eval_every: int = 1
@@ -373,14 +377,24 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         val_paths = sorted(_glob.glob(os.path.join(cfg.shard_dir, "val-*.dcta")))
         if not train_paths:
             raise FileNotFoundError(f"no train-*.dcta shards in {cfg.shard_dir}")
-        # multi-host: each process loads its partition of the shard files
-        # and contributes batch/process_count rows per step; the global
-        # batch is assembled below (parallel/dist.py::make_global_batch_fn)
-        from ..parallel.dist import partition_shard_paths
-        train_paths, loader_seed = partition_shard_paths(
-            train_paths, jax.process_index(), jax.process_count(), cfg.seed)
         x_va, y_va = (np.concatenate(a) for a in zip(*(read_shard(p) for p in val_paths))) \
             if val_paths else (None, None)
+        if cfg.shard_cache == "hbm":
+            # read the shard files whole and fall through to the
+            # HBM-resident scan path (every process reads all shards; the
+            # multi-process branch below then contributes its slice of
+            # the one global dataset, exactly like a directly-loaded set)
+            x_tr, y_tr = (np.concatenate(a) for a in
+                          zip(*(read_shard(p) for p in train_paths)))
+            streaming = False
+        else:
+            # multi-host streaming: each process loads its partition of
+            # the shard files and contributes batch/process_count rows per
+            # step; the global batch is assembled below
+            # (parallel/dist.py::make_global_batch_fn)
+            from ..parallel.dist import partition_shard_paths
+            train_paths, loader_seed = partition_shard_paths(
+                train_paths, jax.process_index(), jax.process_count(), cfg.seed)
     else:
         x_tr, y_tr, info = load_dataset(cfg.dataset, True, cfg.data_dir,
                                         synthetic_size=cfg.synthetic_size)

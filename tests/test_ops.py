@@ -194,6 +194,32 @@ class TestSubspaceMethod:
         z = tucker2_project(x, 16, 16, n_iter=2, method="subspace")
         assert float(jnp.linalg.norm(z - x) / jnp.linalg.norm(x)) < 1e-5
 
+    def test_ns_method_matmul_only_and_near_optimal(self):
+        """'ns' (Newton-Schulz orthogonalization) must (a) contain NO
+        LAPACK custom calls in its lowered HLO — the property that makes
+        it shard_map-scalable (custom calls serialize across virtual CPU
+        devices; see BENCHNOTES) — and (b) capture near-optimal energy."""
+        import jax, jax.numpy as jnp
+        a = jax.random.normal(jax.random.PRNGKey(7), (32, 288))
+        f = jax.jit(lambda a: truncated_left_sv(a, 8, method="ns"))
+        hlo = f.lower(a).compile().as_text()
+        assert "custom-call" not in hlo, "ns path must be pure-HLO matmuls"
+        u1 = truncated_left_sv(a, 8, method="svd")
+        u2 = f(a)
+        e1 = float(jnp.linalg.norm(u1.T @ a))
+        e2 = float(jnp.linalg.norm(u2.T @ a))
+        assert e2 >= 0.98 * e1
+        np.testing.assert_allclose(np.asarray(u2.T @ u2), np.eye(8), atol=5e-3)
+
+    def test_ns_tucker_residual_close_to_exact(self):
+        import jax, jax.numpy as jnp
+        x = jax.random.normal(jax.random.PRNGKey(9), (32, 32, 3, 3))
+        z_svd = tucker2_project(x, 16, 16, n_iter=6, method="svd")
+        z_ns = tucker2_project(x, 16, 16, n_iter=6, method="ns")
+        e_svd = float(jnp.linalg.norm(z_svd - x))
+        e_ns = float(jnp.linalg.norm(z_ns - x))
+        assert e_ns <= e_svd * 1.02
+
     def test_subspace_tucker_residual_close_to_exact(self):
         import jax, jax.numpy as jnp
         x = jax.random.normal(jax.random.PRNGKey(9), (32, 32, 3, 3))

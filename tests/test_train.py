@@ -194,6 +194,21 @@ class TestStreaming:
         state, hist = train_model(cfg, mesh=mesh)
         assert np.isfinite(hist[-1]["train_loss"])
 
+    def test_shard_cache_hbm_uses_scan_path(self, tmp_path):
+        """--shard-cache hbm reads the DCTA shards whole and trains via
+        the HBM-resident scan path (no per-step host hop)."""
+        import numpy as np
+        from dnn_compression_tensor_admm_tpu.data.records import write_shards
+        from dnn_compression_tensor_admm_tpu.data.datasets import load_dataset
+        x, y, _ = load_dataset("synthetic-cifar10", True, None,
+                               synthetic_size=256)
+        write_shards(x, y, str(tmp_path), samples_per_shard=128, prefix="train")
+        cfg = _base_cfg(model="resnet20", epochs=1, steps_per_epoch=3,
+                        batch_size=64, shard_dir=str(tmp_path),
+                        shard_cache="hbm")
+        state, hist = train_model(cfg)
+        assert np.isfinite(hist[-1]["train_loss"])
+
     def test_streaming_batch_not_divisible_rejected(self, tmp_path):
         from dnn_compression_tensor_admm_tpu.parallel.dist import make_global_batch_fn
         from dnn_compression_tensor_admm_tpu.parallel.mesh import make_mesh
