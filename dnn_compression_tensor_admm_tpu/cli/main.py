@@ -108,6 +108,10 @@ def parse_args(argv=None):
                    metavar="DIR",
                    help="export a TF SavedModel via jax2tf (ONNX-convertible "
                         "offline with tf2onnx; cross-runtime deployment)")
+    p.add_argument("--export-onnx", default=None, type=str, metavar="PATH",
+                   help="emit a real .onnx file directly (no torch/onnx "
+                        "dependency; ResNet families, dense or factorized "
+                        "— the reference's convert_onnx_resnet.py role)")
     p.add_argument("--layer-shards", default=1, type=int,
                    help="devices along the mesh 'layer' axis (ADMM Z-step "
                         "layer sharding); the rest go to 'data'")
@@ -276,7 +280,8 @@ def main(argv=None):
             args.model_path,
             lambda: _template(args.model, compressed_kw=compressed is not None))
 
-    if args.eval or args.runtime or args.export or args.export_savedmodel:
+    if args.eval or args.runtime or args.export or args.export_savedmodel \
+            or args.export_onnx:
         kw = {"ratio": args.ratio, "tt_type": args.tt_type} if compressed else {}
         model = create_model(args.model, num_classes=num_classes, dtype=dtype, **kw)
         if init_variables is None:
@@ -287,9 +292,14 @@ def main(argv=None):
                 args.model_path,
                 lambda: _template(args.model,
                                   compressed_kw=compressed is not None))
-        if args.export or args.export_savedmodel:
+        if args.export or args.export_savedmodel or args.export_onnx:
             sz = info.input_size
             shape = (args.batch_size, sz, sz, len(info.mean))
+            if args.export_onnx:
+                from ..utils.onnx_export import export_resnet_onnx
+                export_resnet_onnx(init_variables, args.export_onnx,
+                                   num_classes=num_classes, input_size=sz)
+                print(f"exported ONNX model to {args.export_onnx}")
             if args.export:
                 from ..utils.export import export_model
                 export_model(model, init_variables, shape, args.export)

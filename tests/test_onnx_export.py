@@ -1,0 +1,212 @@
+"""ONNX export: emit .onnx bytes, then EXECUTE them with an independent
+mini-runtime (generic protobuf parser + numpy/jax op kernels) and compare
+against the flax forward. This validates the artifact end-to-end without
+the onnx package (absent in this environment): the runtime sees only the
+serialized bytes."""
+
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnn_compression_tensor_admm_tpu.configs.resolver import get_rank_plan
+from dnn_compression_tensor_admm_tpu.models import create_model, decompose_params
+from dnn_compression_tensor_admm_tpu.utils.onnx_export import export_resnet_onnx
+
+
+# ---------------------------------------------------------------------------
+# generic protobuf parser (wire format only)
+
+
+def parse_fields(buf: bytes):
+    out = {}
+    i = 0
+    while i < len(buf):
+        key, i = _read_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, i = _read_varint(buf, i)
+        elif wire == 2:
+            ln, i = _read_varint(buf, i)
+            val = buf[i:i + ln]
+            i += ln
+        elif wire == 5:
+            val = struct.unpack("<f", buf[i:i + 4])[0]
+            i += 4
+        elif wire == 1:
+            val = struct.unpack("<d", buf[i:i + 8])[0]
+            i += 8
+        else:
+            raise ValueError(f"wire type {wire}")
+        out.setdefault(field, []).append(val)
+    return out
+
+
+def _read_varint(buf, i):
+    shift = val = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _tensor(buf):
+    f = parse_fields(buf)
+    dims = tuple(f.get(1, []))
+    dtype = {1: np.float32, 7: np.int64}[f[2][0]]
+    arr = np.frombuffer(f[9][0], dtype=dtype).reshape(dims)
+    return f[8][0].decode(), arr
+
+
+def _attrs(node_fields):
+    out = {}
+    for ab in node_fields.get(5, []):
+        f = parse_fields(ab)
+        name = f[1][0].decode()
+        atype = f[20][0]
+        if atype == 1:
+            out[name] = f[2][0]
+        elif atype == 2:
+            out[name] = f[3][0]
+        elif atype == 3:
+            out[name] = f[4][0].decode()
+        elif atype == 7:
+            out[name] = list(f.get(8, []))
+        else:
+            raise ValueError(f"attr type {atype}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# mini-runtime
+
+
+def run_onnx(data: bytes, x_nchw: np.ndarray) -> np.ndarray:
+    model = parse_fields(data)
+    graph = parse_fields(model[7][0])
+    env = {}
+    for tb in graph.get(5, []):
+        name, arr = _tensor(tb)
+        env[name] = arr
+    in_name = parse_fields(graph[11][0])[1][0].decode()
+    out_name = parse_fields(graph[12][0])[1][0].decode()
+    env[in_name] = np.asarray(x_nchw, np.float32)
+    for nb in graph[1]:
+        nf = parse_fields(nb)
+        op = nf[4][0].decode()
+        ins = [env[b.decode()] for b in nf.get(1, [])]
+        out = nf[2][0].decode()
+        env[out] = _OPS[op](ins, _attrs(nf))
+    return env[out_name]
+
+
+def _conv(ins, a):
+    x, w = ins[0], ins[1]
+    p = a.get("pads", [0, 0, 0, 0])
+    s = a.get("strides", [1, 1])
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), window_strides=tuple(s),
+        padding=((p[0], p[2]), (p[1], p[3])),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    y = np.asarray(y)
+    if len(ins) == 3:
+        y = y + ins[2].reshape(1, -1, 1, 1)
+    return y
+
+
+def _maxpool(ins, a):
+    x = jnp.asarray(ins[0])
+    k = a["kernel_shape"]
+    s = a["strides"]
+    p = a.get("pads", [0, 0, 0, 0])
+    return np.asarray(jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, k[0], k[1]), (1, 1, s[0], s[1]),
+        ((0, 0), (0, 0), (p[0], p[2]), (p[1], p[3]))))
+
+
+_OPS = {
+    "Conv": _conv,
+    "Relu": lambda ins, a: np.maximum(ins[0], 0),
+    "Add": lambda ins, a: ins[0] + ins[1],
+    "BatchNormalization": lambda ins, a: (
+        ins[1].reshape(1, -1, 1, 1)
+        * (ins[0] - ins[3].reshape(1, -1, 1, 1))
+        / np.sqrt(ins[4].reshape(1, -1, 1, 1) + a.get("epsilon", 1e-5))
+        + ins[2].reshape(1, -1, 1, 1)),
+    "MaxPool": _maxpool,
+    "GlobalAveragePool": lambda ins, a: ins[0].mean(axis=(2, 3), keepdims=True),
+    "Flatten": lambda ins, a: ins[0].reshape(ins[0].shape[0], -1),
+    "Gemm": lambda ins, a: ins[0] @ (ins[1].T if a.get("transB") else ins[1]) + ins[2],
+    "Slice": lambda ins, a: _slice(*ins),
+    "Pad": lambda ins, a: _pad(ins[0], ins[1]),
+}
+
+
+def _slice(x, starts, ends, axes, steps):
+    sl = [slice(None)] * x.ndim
+    for st, en, ax, sp in zip(starts, ends, axes, steps):
+        sl[int(ax)] = slice(int(st), int(min(en, x.shape[int(ax)])), int(sp))
+    return x[tuple(sl)]
+
+
+def _pad(x, pads):
+    r = x.ndim
+    width = [(int(pads[i]), int(pads[i + r])) for i in range(r)]
+    return np.pad(x, width)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _check(model_name, variables, size, classes, tmp_path, tol=2e-3):
+    x = np.random.RandomState(0).rand(1, size, size, 3).astype(np.float32)
+    path = str(tmp_path / f"{model_name}.onnx")
+    data = export_resnet_onnx(variables, path, num_classes=classes,
+                              input_size=size)
+    assert data[:1]  # file written
+    y_onnx = run_onnx(data, x.transpose(0, 3, 1, 2))
+    model = create_model(model_name, num_classes=classes, **(
+        {"ratio": "3"} if model_name[0] in "ts" and "_" in model_name else {}))
+    y_flax = np.asarray(model.apply(variables, jnp.asarray(x), train=False),
+                        np.float32)
+    np.testing.assert_allclose(y_onnx, y_flax, rtol=tol, atol=tol)
+
+
+def test_dense_resnet20_onnx_matches_flax(tmp_path):
+    m = create_model("resnet20", num_classes=10)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    _check("resnet20", v, 32, 10, tmp_path)
+
+
+def test_tkc_resnet32_onnx_matches_flax(tmp_path):
+    dense = create_model("resnet32", num_classes=10)
+    dv = dense.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                    train=False)
+    plan = get_rank_plan("tkc_resnet32", "tk", "3")
+    cv = decompose_params(dv, plan)
+    _check("tkc_resnet32", cv, 32, 10, tmp_path)
+
+
+@pytest.mark.slow
+def test_ttm_resnet18_special_onnx_matches_flax(tmp_path):
+    """The reference's own ONNX export target (convert_onnx_resnet.py:33
+    'ttm_' + resnet18)."""
+    dense = create_model("resnet18", num_classes=1000)
+    dv = dense.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                    train=False)
+    plan = get_rank_plan("ttm_resnet18", "tt", "2", "special")
+    cv = decompose_params(dv, plan)
+    x = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    path = str(tmp_path / "ttm_resnet18.onnx")
+    data = export_resnet_onnx(cv, path, num_classes=1000, input_size=64)
+    y_onnx = run_onnx(data, x.transpose(0, 3, 1, 2))
+    model = create_model("ttm_resnet18", num_classes=1000, ratio="2",
+                         tt_type="special")
+    y_flax = np.asarray(model.apply(cv, jnp.asarray(x), train=False),
+                        np.float32)
+    np.testing.assert_allclose(y_onnx, y_flax, rtol=5e-3, atol=5e-3)
