@@ -51,10 +51,14 @@ def parse_args(argv=None):
                    help="RandomErasing probability (reference --reprob)")
     p.add_argument("--repeated-aug", default=0, type=int,
                    help="repeated-augmentation views per image (RASampler)")
-    p.add_argument("--sampling", default="shuffle",
-                   choices=["shuffle", "replacement"],
-                   help="per-epoch shuffled batches (reference DataLoader "
-                        "semantics) or per-step with-replacement sampling")
+    p.add_argument("--sampling", default="perm",
+                   choices=["perm", "shuffle", "replacement"],
+                   help="'perm'/'shuffle' both give the reference "
+                        "DataLoader's without-replacement epoch semantics "
+                        "(identical batches for a given seed); 'perm' "
+                        "gathers per step instead of materializing a "
+                        "shuffled dataset copy (~15%% faster, default); "
+                        "'replacement' samples uniformly per step")
     # ADMM (parse_args.py:146-164)
     p.add_argument("--admm", action="store_true")
     p.add_argument("--rho", default=0.001, type=float)
