@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from .hp import RankPlan, SVDSpec, TKSpec, TTConvSpec, TTLinearSpec
 
 _HEAD_NAMES = frozenset({"fc.weight", "head.weight", "classifier.weight",
-                         "classifier.1.weight"})
+                         "classifier.1.weight", "head.fc.weight",
+                         "linear.weight"})
 
 _CIFAR_MODELS = frozenset({"resnet20", "resnet32", "resnet56",
                            "densenet40", "densenet100", "mobilenetv2_cifar"})
@@ -70,6 +71,12 @@ def layer_inventory(model: str) -> Tuple[Tuple[str, Tuple[int, ...]], ...]:
         if path[-1] != "kernel":
             continue
         name = canonical_param_name(path)
+        if "downsample" in name:
+            # residual projection branches are never compressed: no
+            # reference hp dict carries a 'downsample' key, and the zoo
+            # builders construct them as plain convs
+            # (resnet_inet_tt.py:57-455)
+            continue
         if leaf.ndim == 4:                       # flax HWIO
             kh, kw, cin, cout = leaf.shape
             if cin <= 3:                         # stem / depthwise

@@ -46,8 +46,21 @@ def partial_tucker(x: jax.Array, rank: Sequence[int], modes: Sequence[int] = (0,
     modes = list(modes)
     ranks = [min(r, x.shape[m]) for r, m in zip(rank, modes)]
 
+    def left_sv_padded(a, r):
+        # The HOOI sweep unfolds the OTHER-modes-contracted tensor, whose
+        # width can fall below the requested rank (e.g. out_rank >
+        # in_rank*kh*kw on small/1x1 kernels). The extra basis columns are
+        # then zero-padded: u @ u.T is unchanged, and factor shapes stay
+        # at the spec's ranks (static across fori_loop iterations, and
+        # parity with the reference's stored factor shapes).
+        eff = min(r, a.shape[0], a.shape[1])
+        u = truncated_left_sv(a, eff, method=method)
+        if u.shape[1] < r:
+            u = jnp.pad(u, ((0, 0), (0, r - u.shape[1])))
+        return u
+
     # --- HOSVD init: dominant left subspace of each mode unfolding.
-    factors = [truncated_left_sv(_unfold(x, m), r, method=method)
+    factors = [left_sv_padded(_unfold(x, m), r)
                for m, r in zip(modes, ranks)]
 
     # --- HOOI sweeps (fixed count, jit-friendly: factor shapes are static).
@@ -58,7 +71,7 @@ def partial_tucker(x: jax.Array, rank: Sequence[int], modes: Sequence[int] = (0,
             for j, mj in enumerate(modes):
                 if j != k:
                     y = _mode_dot_t(y, factors[j], mj)
-            factors[k] = truncated_left_sv(_unfold(y, m), ranks[k], method=method)
+            factors[k] = left_sv_padded(_unfold(y, m), ranks[k])
         return tuple(factors)
 
     if n_iter > 0:

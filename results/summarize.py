@@ -33,6 +33,8 @@ def rows(path):
 
 
 def residuals(stdout_path):
+    """Per-layer ||W-Z|| history: verbose stdout lines and/or the
+    persistent-log rows (which carry the dict since round 4)."""
     out = []
     for line in open(stdout_path):
         if '"admm_residuals"' in line:

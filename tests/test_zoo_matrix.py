@@ -34,7 +34,10 @@ _INPUT_SIZE = {
     "vit": 224, "deit": 224,
     "resnet18": 64, "resnet34": 64, "resnet50": 64,
     "mobilenetv2": 64, "densenet121": 64, "densenet201": 64,
-    "densenet264": 64, "vgg16": 64, "vgg16_bn": 64,
+    "densenet264": 64,
+    # the ConvMlp head's 7x7 fc1 conv needs the 7x7 feature map a 224
+    # input produces (2x2 at 64 -> empty conv output -> NaN mean)
+    "vgg16": 224, "vgg16_bn": 224,
 }
 
 
@@ -101,10 +104,13 @@ def test_function_preservation_tk_reconstruction():
     cvars = decompose_params(dvars, plan)
 
     # rebuild each factorized kernel (tk_conv.py reconstruct-mode einsum)
-    # and run it through the DENSE model
+    # and run it through the DENSE model. Module path segments come from
+    # the dense tree's actual key paths ('layer1.0' is ONE flax key).
+    from dnn_compression_tensor_admm_tpu.models.decompose import _name_to_path_map
+    name_to_path = _name_to_path_map(dvars["params"])
     rparams = jax.tree.map(lambda a: a, dvars["params"])
     for lname in plan.names():
-        path = lname.split(".")[:-1]
+        path = name_to_path[lname][:-1]
         node = rparams
         cnode = cvars["params"]
         for p in path:
