@@ -60,11 +60,55 @@ def measure(n_layer: int, model: str = "resnet32", fmt: str = "tk",
             "z_step_ms": round(1000 * dt, 2), "layers": len(program.paths)}
 
 
+def measure_isolated(n_layer: int, method: str = "ns", layers: int = 32,
+                     ch: int = 64, iters: int = 5) -> dict:
+    """Time ONLY the shard_map'd local-solve region (one bucket), without
+    admm_update's replicated bookkeeping (stack/residual/U arithmetic).
+    On a shared-core virtual mesh the replicated work executes once PER
+    DEVICE, multiplying its cost n-fold — an artifact real hardware does
+    not have (each device owns its cores). This row separates that
+    artifact from the solver's own scaling."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..ops.tucker import tucker2_project
+    from ..parallel import make_mesh
+    from ..utils.profiling import device_sync
+
+    def solve(block):
+        return jax.vmap(lambda w: tucker2_project(
+            w, ch // 2, ch // 2, n_iter=6, method=method))(block)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (layers, ch, ch, 3, 3))
+    if n_layer == 1:
+        f = jax.jit(solve)
+        xs = x
+    else:
+        mesh = make_mesh(n_data=1, n_layer=n_layer,
+                         devices=jax.devices()[:n_layer])
+        axes = tuple(mesh.shape.keys())
+        f = jax.jit(jax.shard_map(solve, mesh=mesh, in_specs=P(axes),
+                                  out_specs=P(axes), check_vma=False))
+        xs = jax.device_put(x, NamedSharding(mesh, P(axes)))
+    y = f(xs)
+    device_sync(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(xs)
+    device_sync(y)
+    dt = (time.perf_counter() - t0) / iters
+    return {"n_layer_shards": n_layer, "method": method, "isolated": True,
+            "z_step_ms": round(1000 * dt, 2), "layers": layers}
+
+
 def main(argv=None):
     if os.environ.get("DCTA_PLATFORM"):
         import jax
         jax.config.update("jax_platforms", os.environ["DCTA_PLATFORM"])
     argv = list(argv if argv is not None else sys.argv[1:])
+    isolate = "--isolate" in argv
+    if isolate:
+        argv.remove("--isolate")
     methods = ["subspace"]
     if "--methods" in argv:
         i = argv.index("--methods")
@@ -75,7 +119,8 @@ def main(argv=None):
         ns = [1] + ns  # the 'unsharded' baseline must actually be measured
     rows = []
     for method in methods:
-        mrows = [measure(n, method=method) for n in ns]
+        mrows = [(measure_isolated if isolate else measure)(n, method=method)
+                 for n in ns]
         base = next(r["z_step_ms"] for r in mrows if r["n_layer_shards"] == 1)
         for r in mrows:
             # on the shared-core virtual CPU mesh the best possible is
