@@ -117,7 +117,7 @@ def dense_block(out_dir):
 
 
 def main():
-    parts = ["# RESULTS — full-length flagship pipeline evidence (round 3)",
+    parts = ["# RESULTS — full-length flagship pipeline evidence (rounds 3-4)",
              "",
              "All runs executed on the one real TPU chip available to this",
              "environment (v5e via the axon tunnel) by `results/run_flagship.sh`",

@@ -30,6 +30,14 @@ case "${1:-help}" in
       --admm --format tt --ratio 2 --opt adamw --lr 5e-4 --sched cosine \
       --warmup-epochs 5 --epochs 300 --mixup 0.8 --cutmix 1.0 \
       --shard-dir "$DATA/imagenet-shards" --save-model --output-dir "$OUT" ;;
+  resnet18-tt-pipeline)
+    # full north-star pipeline (ADMM -> decompose -> FT) on shards,
+    # cached to HBM; see results/run_r18tt.sh for the evidence run
+    bash results/run_r18tt.sh ;;
+  deit-tt-pipeline)
+    bash results/run_deit_converged.sh ;;
+  ft-ablation)
+    bash results/run_ft_ablation.sh ;;
   bench)
     python bench.py ;;
   *)
