@@ -93,6 +93,15 @@ class TrainConfig:
     dataset_mode: str = "args"   # 'args' (HBM dataset as jit arguments) |
                                  # 'closure' (inlined literal; single-process
                                  #  only, used by bench/ab_args.py A/B)
+    epochs_per_dispatch: int = 8  # fuse up to this many (z-step + epoch-scan)
+                                  # units into ONE device program when no
+                                  # per-epoch observability is requested:
+                                  # each host dispatch/sync round-trip under
+                                  # the axon tunnel costs ~15 ms, ~45 ms of
+                                  # a 510 ms epoch. Auto-disabled by eval
+                                  # boundaries, --verbose, --save-log,
+                                  # checkpointing, profiling, adjust-rho
+                                  # and the streaming path. 1 = off.
     verbose_admm: bool = False   # per-layer ||W-Z|| logging (reference --verbose)
     profile_dir: Optional[str] = None  # write a jax.profiler trace of epoch 1
     ema_decay: float = 0.0
@@ -239,7 +248,52 @@ def make_train_step(model, cfg: TrainConfig, tx, info,
         state, metrics = jax.lax.scan(body, state, jnp.arange(num_steps))
         return state, jax.tree.map(jnp.mean, metrics)
 
-    return run_steps
+    @partial(jax.jit, static_argnames=("num_steps", "num_epochs"),
+             donate_argnums=(0,))
+    def run_epochs(state: TrainState, rho, images, labels, num_steps: int,
+                   num_epochs: int):
+        """Several (Z/U-step + epoch scan) units in ONE device program.
+
+        The host's per-epoch work is two dispatches and a sync round-trip
+        — ~45 ms of a 510 ms epoch under the axon tunnel. When nothing
+        per-epoch is observed (no eval/log/checkpoint boundary), the
+        whole chunk runs device-side and the host reads back one stacked
+        [num_epochs] metrics tree. Z/U ordering per epoch is identical to
+        the unfused loop (projection first, then the X-step scan)."""
+        from ..admm import admm_update
+        mode = (cfg.sampling if images.shape[0] >= cfg.batch_size
+                else "replacement")
+
+        def epoch_body(state, _e):
+            if program is not None:
+                new_admm, _res = admm_update(
+                    state.params, state.admm, program=program, update_u=True,
+                    method=cfg.admm_method, n_iter=cfg.admm_hooi_iters,
+                    mesh=mesh)
+                state = state.replace(admm=new_admm)
+            shuffled = mode == "shuffle"
+            perm = None
+            step_images, step_labels = images, labels
+            if mode in ("shuffle", "perm"):
+                k_shuf, rng = jax.random.split(state.rng)
+                state = state.replace(rng=rng)
+                if shuffled:
+                    step_images, step_labels = shuffle_epoch(images, labels,
+                                                             k_shuf)
+                else:
+                    perm = jax.random.permutation(k_shuf, images.shape[0])
+
+            def body(s, i):
+                return one_step(s, rho, step_images, step_labels, i,
+                                shuffled, perm)
+            state, metrics = jax.lax.scan(body, state, jnp.arange(num_steps))
+            return state, jax.tree.map(jnp.mean, metrics)
+
+        state, metrics = jax.lax.scan(epoch_body, state,
+                                      jnp.arange(num_epochs))
+        return state, metrics  # metric leaves have shape [num_epochs]
+
+    return run_steps, run_epochs
 
 
 def make_streaming_step(model, cfg: TrainConfig, tx, info, program=None,
@@ -489,7 +543,7 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
             from ..parallel.dist import make_global_batch_fn
             put = make_global_batch_fn(mesh, cfg.batch_size)
         stream_iter = prefetch_to_device(iter(loader), size=2, put=put)
-        run_steps = None
+        run_steps = run_epochs_fn = None
     else:
         if multi_process:
             # each process contributes its slice of one globally-sharded
@@ -500,9 +554,9 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         else:
             images = jnp.asarray(x_tr)
             labels = jnp.asarray(y_tr)
-        run_steps = make_train_step(model, cfg, tx, info_nc,
-                                    program=program, teacher=teacher,
-                                    teacher_vars=teacher_vars, mesh=mesh)
+        run_steps, run_epochs_fn = make_train_step(
+            model, cfg, tx, info_nc, program=program, teacher=teacher,
+            teacher_vars=teacher_vars, mesh=mesh)
         if cfg.dataset_mode == "closure":
             # A/B instrumentation (bench/ab_args.py): inline the dataset
             # into the program as a literal, the round-2 design. Keyed on
@@ -531,7 +585,61 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
     timer = PhaseTimer()
     history = []
     epochs = max_epochs or cfg.epochs
-    for epoch in range(start_epoch, epochs):
+    # Epoch-chunk fusion (see run_epochs): legal exactly when the host
+    # observes nothing per epoch — any eval/log/checkpoint/profile/
+    # verbose/adjust-rho boundary falls back to the per-epoch path.
+    chunkable = (not streaming and run_epochs_fn is not None
+                 and cfg.epochs_per_dispatch > 1
+                 and cfg.dataset_mode != "closure"
+                 and not cfg.verbose_admm and not cfg.log_path
+                 and cfg.checkpoint_dir is None and cfg.profile_dir is None
+                 and not cfg.adjust_rho_late)
+
+    epoch = start_epoch
+    while epoch < epochs:
+        rho = cfg.rho
+        k = 1
+        if chunkable:
+            if x_va is not None and cfg.eval_every <= epochs:
+                nxt = ((epoch // cfg.eval_every) + 1) * cfg.eval_every
+            else:
+                nxt = epochs
+            k = max(1, min(cfg.epochs_per_dispatch, nxt - epoch,
+                           epochs - epoch))
+        if k > 1:
+            t0 = time.time()
+            state, mstack = run_epochs_fn(state, rho, images, labels,
+                                          steps, k)
+            from ..utils.profiling import device_sync
+            device_sync(mstack)
+            dt = (time.time() - t0) / k
+            losses = np.asarray(jax.device_get(mstack["loss"]), np.float32)
+            accs = np.asarray(jax.device_get(mstack["acc"]), np.float32)
+            for j in range(k):
+                train_loss = float(losses[j])
+                if not math.isfinite(train_loss):
+                    raise FloatingPointError(
+                        f"loss is {train_loss}, stopping")  # engines.py:302-304
+                row = {"epoch": epoch + j + 1, "train_loss": train_loss,
+                       "train_acc": float(accs[j]), "epoch_time_s": dt}
+                if j == k - 1 and x_va is not None and \
+                        ((epoch + k) % cfg.eval_every == 0
+                         or epoch + k == epochs):
+                    t_ev = time.time()
+                    ev = evaluate_model(model, state.variables(), x_va, y_va,
+                                        info, eval_step=eval_step)
+                    row.update({f"test_{kk}": v for kk, v in ev.items()})
+                    row["eval_time_s"] = round(time.time() - t_ev, 4)
+                    if cfg.ema_decay > 0:
+                        ev_ema = evaluate_model(model,
+                                                state.variables(use_ema=True),
+                                                x_va, y_va, info,
+                                                eval_step=eval_step)
+                        row.update({f"ema_{kk}": v for kk, v in ev_ema.items()})
+                history.append(row)
+                log(json.dumps(row))
+            epoch += k
+            continue
         t0 = time.time()
         rho = cfg.rho * (5.0 if (cfg.adjust_rho_late and
                                  epoch > int(0.85 * cfg.epochs)) else 1.0)
@@ -620,6 +728,7 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
         if cfg.log_path:
             with open(cfg.log_path, "a") as f:
                 f.write(json.dumps(row) + "\n")
+        epoch += 1
     if cfg.admm or cfg.profile_dir:
         timer.log(log)
     return state, history

@@ -215,3 +215,39 @@ class TestStreaming:
         import pytest
         with pytest.raises(ValueError):
             make_global_batch_fn(make_mesh(), 12)  # 12 % 8 devices != 0
+
+
+class TestEpochChunking:
+    """run_epochs fuses (Z/U + epoch scan) chunks into one program when
+    no per-epoch observability is requested; must be bit-identical to
+    the per-epoch loop and must stop at eval boundaries."""
+
+    def _base(self, **kw):
+        return _base_cfg(model="resnet20", synthetic_size=256, batch_size=64,
+                         steps_per_epoch=3, epochs=4, admm=True, fmt="tk",
+                         ratio="3", admm_hooi_iters=2,
+                         admm_method="subspace", **kw)
+
+    def test_fused_matches_unfused(self):
+        import numpy as np
+        _, h1 = train_model(self._base(eval_every=10 ** 9,
+                                       epochs_per_dispatch=1))
+        _, h2 = train_model(self._base(eval_every=10 ** 9,
+                                       epochs_per_dispatch=4))
+        np.testing.assert_allclose([h["train_loss"] for h in h1],
+                                   [h["train_loss"] for h in h2], rtol=1e-5)
+        np.testing.assert_allclose([h["train_acc"] for h in h1],
+                                   [h["train_acc"] for h in h2], rtol=1e-5)
+
+    def test_eval_boundaries_respected(self):
+        _, h = train_model(self._base(eval_every=2, epochs_per_dispatch=4))
+        assert [r["epoch"] for r in h] == [1, 2, 3, 4]
+        assert [("test_acc1" in r) for r in h] == [False, True, False, True]
+
+    def test_observability_falls_back(self, tmp_path):
+        # --save-log demands per-epoch rows in the file: chunking off
+        cfg = self._base(eval_every=10 ** 9, epochs_per_dispatch=4,
+                         log_path=str(tmp_path / "x.log"))
+        _, h = train_model(cfg)
+        rows = [l for l in open(cfg.log_path)]
+        assert len(rows) == 4
