@@ -38,7 +38,10 @@ def measure(n_devices: int, batch_per_device: int = 32, steps: int = 4,
     from ..train import TrainConfig, train_model
 
     devices = jax.devices()[:n_devices]
-    n_layer = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    # dense (X-step only) rows: every device belongs on 'data' — a layer
+    # axis would idle devices through the whole program (measured: the
+    # n=2 dense row had data=1, i.e. zero parallelism)
+    n_layer = 2 if (admm and n_devices % 2 == 0 and n_devices >= 2) else 1
     mesh = make_mesh(n_data=n_devices // n_layer, n_layer=n_layer,
                      devices=devices)
     cfg = TrainConfig(

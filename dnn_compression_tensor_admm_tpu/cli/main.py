@@ -51,6 +51,11 @@ def parse_args(argv=None):
                    help="RandomErasing probability (reference --reprob)")
     p.add_argument("--repeated-aug", default=0, type=int,
                    help="repeated-augmentation views per image (RASampler)")
+    p.add_argument("--epochs-per-dispatch", default=8, type=int,
+                   help="fuse up to N (Z-step + epoch-scan) units into one "
+                        "device program when no per-epoch observability "
+                        "(eval/log/checkpoint/verbose) is requested; 1 "
+                        "disables")
     p.add_argument("--sampling", default="perm",
                    choices=["perm", "shuffle", "replacement"],
                    help="'perm'/'shuffle' both give the reference "
@@ -202,7 +207,7 @@ def main(argv=None):
         randaug_magnitude=_aa_magnitude(args.aa)[0],
         randaug_std=_aa_magnitude(args.aa)[1],
         erase_prob=args.reprob, repeated_aug=args.repeated_aug,
-        sampling=args.sampling,
+        sampling=args.sampling, epochs_per_dispatch=args.epochs_per_dispatch,
         admm=args.admm, rho=args.rho, fmt=args.fmt, ratio=args.ratio,
         tt_type=args.tt_type, admm_method=args.admm_method,
         adjust_rho_late=args.adjust_rho, orthogonal=args.orthogonal,
