@@ -177,3 +177,21 @@ class TestZStepCollectiveStructure:
             frontier.extend(calls.get(c, ()))
         inside = {c: v for c, v in per_comp.items() if c in reach}
         assert not inside, f"collectives inside solver loops: {inside}"
+
+
+class TestChunkedEpochsOnMesh:
+    def test_fused_epochs_compile_and_run_on_mesh(self):
+        """Epoch-chunk fusion composes with the data+layer mesh: the fused
+        program embeds the shard_map Z-step inside the epoch scan."""
+        from dnn_compression_tensor_admm_tpu.train import (TrainConfig,
+                                                           train_model)
+        cfg = TrainConfig(model="resnet20", dataset="synthetic-cifar10",
+                          synthetic_size=256, batch_size=64,
+                          steps_per_epoch=2, epochs=2, admm=True, fmt="tk",
+                          ratio="3", admm_hooi_iters=2,
+                          admm_method="subspace", compute_dtype=None,
+                          eval_every=10 ** 9, epochs_per_dispatch=2,
+                          print_fn=lambda *a: None)
+        state, hist = train_model(cfg, mesh=make_mesh(n_data=4, n_layer=2))
+        assert len(hist) == 2
+        assert all(np.isfinite(h["train_loss"]) for h in hist)
