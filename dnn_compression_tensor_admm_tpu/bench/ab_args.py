@@ -50,6 +50,10 @@ def run_once(variant: str, epochs: int, steps: int) -> list:
         steps_per_epoch=steps, epochs=epochs, lr=0.1, smoothing=0.1,
         admm=True, fmt="tk", ratio="3", admm_method="pallas",
         admm_hooi_iters=6, compute_dtype="bfloat16", eval_every=10 ** 9,
+        # epoch fusion OFF: this harness isolates the dataset-DELIVERY
+        # cost per epoch; fusion would hide it (and 'closure' disables
+        # fusion anyway, which would bias the comparison)
+        epochs_per_dispatch=1,
         print_fn=lambda *a: None, **VARIANTS[variant])
     _, hist = train_model(cfg)
     return [h["epoch_time_s"] for h in hist]

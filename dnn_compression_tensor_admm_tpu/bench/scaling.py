@@ -49,6 +49,9 @@ def measure(n_devices: int, batch_per_device: int = 32, steps: int = 4,
         batch_size=batch_per_device * (n_devices // n_layer),
         epochs=2, steps_per_epoch=steps, lr=0.1, admm=admm, fmt="tk",
         ratio="3", admm_method="subspace", compute_dtype=None,
+        # no epoch fusion here: the measurement needs epoch 1 (compile)
+        # and epoch 2 (steady) as SEPARATE dispatches
+        epochs_per_dispatch=1,
         synthetic_size=1024, eval_every=10**9, print_fn=lambda *a: None)
     t0 = time.time()
     state, hist = train_model(cfg, mesh=mesh)

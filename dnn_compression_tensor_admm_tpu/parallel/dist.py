@@ -105,19 +105,28 @@ def make_global_batch_fn(mesh, batch_size: int):
     DataLoader play in the reference, datasets.py:87-100). Single-process
     it degenerates to a sharded device_put, so the virtual 8-device mesh
     exercises the identical code path (tests/test_dist.py)."""
+    import math
     from jax.sharding import NamedSharding, PartitionSpec as P
     pc = jax.process_count()
     n_data = mesh.shape["data"]
-    if batch_size % max(n_data, pc) != 0:
+    # the global batch must divide over the 'data' axis AND assemble from
+    # equal per-process slices (divisible by both, i.e. by the lcm —
+    # max() alone passes e.g. batch 6 with pc=6, n_data=4)
+    if batch_size % math.lcm(n_data, pc) != 0:
         raise ValueError(
-            f"--batch-size {batch_size} must divide over the mesh 'data' "
-            f"axis ({n_data}) and the {pc} processes")
+            f"--batch-size {batch_size} must be divisible by "
+            f"lcm(data axis {n_data}, processes {pc}) = "
+            f"{math.lcm(n_data, pc)}")
+    sy = NamedSharding(mesh, P("data"))
+    sx_cache = {}
 
     def to_global(xb: np.ndarray, yb: np.ndarray):
         xb = np.ascontiguousarray(xb)
         yb = np.ascontiguousarray(yb)
-        sx = NamedSharding(mesh, P("data", *([None] * (xb.ndim - 1))))
-        sy = NamedSharding(mesh, P("data"))
+        sx = sx_cache.get(xb.ndim)
+        if sx is None:
+            sx = sx_cache[xb.ndim] = NamedSharding(
+                mesh, P("data", *([None] * (xb.ndim - 1))))
         gx = jax.make_array_from_process_local_data(
             sx, xb, global_shape=(xb.shape[0] * pc,) + xb.shape[1:])
         gy = jax.make_array_from_process_local_data(

@@ -224,29 +224,36 @@ def make_train_step(model, cfg: TrainConfig, tx, info,
                                   opt_state=new_opt, ema_params=ema, rng=rng)
         return new_state, {"loss": loss, "acc": acc}
 
-    @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
-    def run_steps(state: TrainState, rho, images, labels, num_steps: int):
-        # epoch-shuffle sampling needs n >= batch; tiny (test) datasets
-        # fall back to per-step with-replacement gathers (static: depends
-        # only on the argument's shape)
+    def scan_epoch(state: TrainState, rho, images, labels, num_steps: int):
+        """One epoch: resolve the sampling mode (epoch-shuffle sampling
+        needs n >= batch; tiny test datasets fall back to per-step
+        with-replacement gathers — static, depends only on the argument's
+        shape), then scan `num_steps` train steps. Shared by the
+        per-epoch program and the fused multi-epoch program so the two
+        can never drift apart."""
         mode = (cfg.sampling if images.shape[0] >= cfg.batch_size
                 else "replacement")
         shuffled = mode == "shuffle"
         perm = None
+        step_images, step_labels = images, labels
         if mode in ("shuffle", "perm"):
             k_shuf, rng = jax.random.split(state.rng)
             state = state.replace(rng=rng)
-        if shuffled:
-            step_images, step_labels = shuffle_epoch(images, labels, k_shuf)
-        else:
-            step_images, step_labels = images, labels
-            if mode == "perm":
+            if shuffled:
+                step_images, step_labels = shuffle_epoch(images, labels,
+                                                         k_shuf)
+            else:
                 perm = jax.random.permutation(k_shuf, images.shape[0])
 
         def body(s, i):
-            return one_step(s, rho, step_images, step_labels, i, shuffled, perm)
+            return one_step(s, rho, step_images, step_labels, i, shuffled,
+                            perm)
         state, metrics = jax.lax.scan(body, state, jnp.arange(num_steps))
         return state, jax.tree.map(jnp.mean, metrics)
+
+    @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
+    def run_steps(state: TrainState, rho, images, labels, num_steps: int):
+        return scan_epoch(state, rho, images, labels, num_steps)
 
     @partial(jax.jit, static_argnames=("num_steps", "num_epochs"),
              donate_argnums=(0,))
@@ -261,8 +268,6 @@ def make_train_step(model, cfg: TrainConfig, tx, info,
         [num_epochs] metrics tree. Z/U ordering per epoch is identical to
         the unfused loop (projection first, then the X-step scan)."""
         from ..admm import admm_update
-        mode = (cfg.sampling if images.shape[0] >= cfg.batch_size
-                else "replacement")
 
         def epoch_body(state, _e):
             if program is not None:
@@ -271,23 +276,7 @@ def make_train_step(model, cfg: TrainConfig, tx, info,
                     method=cfg.admm_method, n_iter=cfg.admm_hooi_iters,
                     mesh=mesh)
                 state = state.replace(admm=new_admm)
-            shuffled = mode == "shuffle"
-            perm = None
-            step_images, step_labels = images, labels
-            if mode in ("shuffle", "perm"):
-                k_shuf, rng = jax.random.split(state.rng)
-                state = state.replace(rng=rng)
-                if shuffled:
-                    step_images, step_labels = shuffle_epoch(images, labels,
-                                                             k_shuf)
-                else:
-                    perm = jax.random.permutation(k_shuf, images.shape[0])
-
-            def body(s, i):
-                return one_step(s, rho, step_images, step_labels, i,
-                                shuffled, perm)
-            state, metrics = jax.lax.scan(body, state, jnp.arange(num_steps))
-            return state, jax.tree.map(jnp.mean, metrics)
+            return scan_epoch(state, rho, images, labels, num_steps)
 
         state, metrics = jax.lax.scan(epoch_body, state,
                                       jnp.arange(num_epochs))

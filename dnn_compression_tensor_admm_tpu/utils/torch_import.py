@@ -196,12 +196,16 @@ def _torch_name(coll: str, path) -> str:
 
 
 def _to_flax_layout(arr: np.ndarray, path, leaf_shape) -> np.ndarray:
+    # only the two KNOWN torch<->flax layout differences are transformed;
+    # anything else must already match exactly — a silent reshape here
+    # would scramble same-element-count layout mismatches into valid-
+    # looking garbage weights
     if path[-1] == "kernel":
         if arr.ndim == 4:           # conv OIHW -> HWIO
             arr = arr.transpose(2, 3, 1, 0)
         elif arr.ndim == 2:         # linear [out,in] -> [in,out]
             arr = arr.T
-    return arr.reshape(leaf_shape) if arr.shape != tuple(leaf_shape) else arr
+    return arr
 
 
 def _to_torch_layout(arr: np.ndarray, path) -> np.ndarray:
@@ -237,10 +241,6 @@ def torch_to_variables(state_dict: Dict[str, np.ndarray], template,
             set_leaf(coll, path, leaf)
             continue
         arr = np.asarray(state_dict[tname])
-        if path[-1] == "kernel" and arr.ndim not in (2, 4) \
-                and arr.size != np.prod(leaf.shape):
-            raise ValueError(f"{tname}: cannot map shape {arr.shape} "
-                             f"to {leaf.shape}")
         arr = _to_flax_layout(arr, path, leaf.shape)
         if arr.shape != tuple(leaf.shape):
             raise ValueError(f"{tname}: torch shape {state_dict[tname].shape} "
