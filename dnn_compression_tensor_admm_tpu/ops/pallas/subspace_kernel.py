@@ -27,26 +27,56 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tucker_kernel import _orth_iter, _VMEM_BUDGET_BYTES, _dot
+from .tucker_kernel import _orth_iter, _ns_inv_sqrt, _VMEM_BUDGET_BYTES, _dot
+
+
+# Mosaic's stack allocator can hold ~2x the analytic working set live
+# across unrolled iterations; raise the scoped-vmem ceiling well past the
+# 16 MB default so the gate's estimate (with margin) is what binds.
+_SCOPED_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def pallas_subspace_supported(shape, dtype=jnp.float32) -> bool:
-    """True if a [L, rows, cols] stack fits the kernel's VMEM plan."""
+    """True if a [L, rows, cols] stack fits the kernel's VMEM plan.
+
+    The kernel iterates on the Gram matrix of the SMALLER side (see
+    `_subspace_kernel`), so the estimate uses min(rows, cols)^2 — a tall
+    [720, 128] unfolding costs a 128x128 gram, not 720x720.
+    """
     if len(shape) != 3:
         return False
     _, rows, cols = shape
+    m = min(rows, cols)
     itemsize = jnp.dtype(dtype).itemsize
     x_bytes = 2 * rows * cols * itemsize      # double-buffered input block
-    scratch = 4 * (rows * rows + rows * cols) * 4  # gram + f32 iterates
-    return x_bytes + scratch < _VMEM_BUDGET_BYTES
+    scratch = 4 * (m * m + rows * cols) * 4   # gram + f32 iterates
+    # 2x safety factor vs the raised scoped limit (measured: Mosaic's
+    # actual stack use ran ~2x the analytic estimate on resnet50 shapes).
+    return x_bytes + 2 * scratch < min(_VMEM_BUDGET_BYTES, _SCOPED_VMEM_LIMIT // 2)
 
 
 def _subspace_kernel(t_ref, q_ref, *, r: int, iters: int, ns_iters: int):
-    """Per-layer fused solve. t_ref: [1, rows, cols] -> q_ref: [1, rows, r]."""
+    """Per-layer fused solve. t_ref: [1, rows, cols] -> q_ref: [1, rows, r].
+
+    Iterates on the Gram of the smaller side: for tall unfoldings
+    (rows > cols) the right Gram t^T t is [cols, cols]; its dominant
+    subspace V lifts to the left subspace via orth(t V). This keeps the
+    iteration working set at min(rows,cols)^2 instead of rows^2 —
+    resnet50's [720, 128] unfolding otherwise blows the Mosaic stack.
+    """
     t = t_ref[0].astype(jnp.float32)
-    g = _dot(t, t.T)
-    q0 = jnp.eye(t.shape[0], r, dtype=jnp.float32)
-    q = _orth_iter(g, q0, iters, ns_iters)
+    rows, cols = t.shape
+    if rows <= cols:
+        g = _dot(t, t.T)
+        q0 = jnp.eye(rows, r, dtype=jnp.float32)
+        q = _orth_iter(g, q0, iters, ns_iters)
+    else:
+        g = _dot(t.T, t)
+        v0 = jnp.eye(cols, r, dtype=jnp.float32)
+        v = _orth_iter(g, v0, iters, ns_iters)
+        y = _dot(t, v)                      # [rows, r] spans top-left subspace
+        s = _dot(y.T, y)                    # one NS orthonormalization of y
+        q = _dot(y, _ns_inv_sqrt(s, ns_iters))
     q_ref[0] = q.astype(q_ref.dtype)
 
 
@@ -75,6 +105,8 @@ def dominant_left_subspace_batched(t: jax.Array, r: int, *, iters: int = 8,
         out_specs=pl.BlockSpec((1, rows, r), lambda j: (j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l, rows, r), t.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_LIMIT),
         interpret=interpret,
     )(t)
 

@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# ResNet50-TT-general pipeline (reference README.md:33-34, 76.98%/76.44%
+# @ 3.05x; hp_dicts/tt_resnet50_hp.py): full ADMM -> decompose ->
+# fine-tune at ImageNet geometry on the HARD synthetic set — the last
+# headline family with no end-to-end run evidence (round-4 verdict #1).
+# Data/geometry identical to results/run_r18tt.sh (shards reused when
+# present). lr=0.1 for the from-scratch synthetic ADMM leg (reference
+# trains from a pretrained net at lr=0.01; from-scratch on the hard set
+# needs the standard resnet lr, as the r18tt run established), FT lr=0.01.
+set -e
+cd "$(dirname "$0")/.."
+OUT=results/r50tt_r05
+SHARDS=/tmp/r18_shards
+mkdir -p "$OUT"
+
+if [ ! -f "$SHARDS/train-00000.dcta" ]; then
+  echo "=== generating synthetic-hard-imagenet shards ==="
+  python - <<'EOF'
+from dnn_compression_tensor_admm_tpu.data.datasets import load_dataset
+from dnn_compression_tensor_admm_tpu.data.records import write_shards
+x, y, _ = load_dataset("synthetic-hard-imagenet", True, None, synthetic_size=12800)
+write_shards(x, y, "/tmp/r18_shards", samples_per_shard=3200, prefix="train")
+xv, yv, _ = load_dataset("synthetic-hard-imagenet", False, None, synthetic_size=2560)
+write_shards(xv, yv, "/tmp/r18_shards", samples_per_shard=3200, prefix="val")
+print("shards written")
+EOF
+fi
+
+echo "=== ResNet50 TT-general ADMM (150 epochs, reference epoch count) ==="
+python main.py --model resnet50 --dataset synthetic-hard-imagenet \
+  --shard-dir "$SHARDS" --shard-cache hbm \
+  --admm --format tt --ratio 3 --tt-type general --rho 0.001 --adjust-rho \
+  --epochs 150 --lr 0.1 --batch-size 256 --smoothing 0.1 \
+  --eval-every 10 --verbose --save-model --save-log --output-dir "$OUT" \
+  > "$OUT/admm_stdout.log" 2>&1
+CK=$(ls -t "$OUT"/resnet50_*_admm_tt_*_model.msgpack | head -1)
+echo "ADMM checkpoint: $CK"
+
+echo "=== decompose + fine-tune (105 epochs, reference epoch count) ==="
+python main.py --model ttm_resnet50 --dataset synthetic-hard-imagenet \
+  --shard-dir "$SHARDS" --shard-cache hbm \
+  --decompose --model-path "$CK" --ratio 3 --tt-type general \
+  --epochs 105 --lr 0.01 --batch-size 256 --smoothing 0.1 \
+  --eval-every 10 --save-model --save-log --output-dir "$OUT" \
+  > "$OUT/ft_stdout.log" 2>&1
+echo "r50tt pipeline complete"

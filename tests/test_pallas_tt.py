@@ -44,6 +44,28 @@ def test_subspace_kernel_matches_svd_subspace():
         assert np.linalg.norm(p_ker - p_exact) < 5e-2
 
 
+def test_subspace_kernel_tall_unfolding_matches_svd_subspace():
+    # rows > cols exercises the small-gram (right-Gram + lift) path added
+    # for resnet50's [720, 128] unfoldings, which blow the Mosaic stack
+    # under the rows^2 left-Gram plan
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    qu, _ = jnp.linalg.qr(jax.random.normal(k1, (2, 72, 24)))
+    qv, _ = jnp.linalg.qr(jax.random.normal(k2, (2, 24, 24)))
+    s = jnp.concatenate([jnp.array([10., 9., 8., 7., 6.]),
+                         0.5 * jnp.ones(19)])
+    x = jnp.einsum("lik,k,ljk->lij", qu, s, qv)   # [2, 72, 24], tall
+    u = dominant_left_subspace_batched(x, 5, interpret=True)
+    assert u.shape == (2, 72, 5)
+    for j in range(2):
+        ue, _, _ = np.linalg.svd(np.asarray(x[j]), full_matrices=False)
+        p_exact = ue[:, :5] @ ue[:, :5].T
+        p_ker = np.asarray(u[j] @ u[j].T)
+        assert np.linalg.norm(p_ker - p_exact) < 5e-2
+        # and the basis itself must be orthonormal (lift uses one NS pass)
+        assert np.linalg.norm(np.asarray(u[j]).T @ np.asarray(u[j]) -
+                              np.eye(5)) < 1e-3
+
+
 def test_subspace_kernel_full_rank_identity():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 64), jnp.float32)
     u = dominant_left_subspace_batched(x, 8, interpret=True)
