@@ -7,8 +7,11 @@ Z/U projection (vmap-bucketed on-device truncated HOOI / batched TT-SVD)
 sampling/augmentation, label smoothing 0.1, SGD-momentum).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` compares against the most recent recorded BENCH_r*.json
-(the reference publishes no throughput numbers — BASELINE.md).
+`vs_baseline` is pinned to the FIRST recorded round for this metric
+(round 1: 309.65 it/s for the headline config) so the ratio means the
+same thing in every round; `vs_last_round` additionally compares against
+the most recent BENCH_r*.json. (The reference publishes no throughput
+numbers — BASELINE.md.)
 
 Other configs (--config tt3x | deit_tt2) cover the second headline
 format (TT) and the ViT family; `--all` runs every config and writes
@@ -98,24 +101,25 @@ def main():
     else:
         headline = run_config(args.config)
 
-    prev = None
+    first = last = None
     for f in sorted(glob.glob("BENCH_r*.json"),
                     key=lambda p: int(re.search(r"r(\d+)", p).group(1))):
         try:
             rec = json.load(open(f))
             # driver records our line under "parsed"; accept both layouts
             cand = (rec.get("parsed") or rec)
-            if cand.get("metric") == headline["metric"]:
-                prev = cand.get("value") or prev
+            if cand.get("metric") == headline["metric"] and cand.get("value"):
+                first = first or cand["value"]
+                last = cand["value"]
         except Exception:
             pass
-    vs = (headline["value"] / prev) if prev else 1.0
 
     print(json.dumps({
         "metric": headline["metric"],
         "value": headline["value"],
         "unit": "iter/s",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(headline["value"] / first, 3) if first else 1.0,
+        "vs_last_round": round(headline["value"] / last, 3) if last else 1.0,
     }))
 
 

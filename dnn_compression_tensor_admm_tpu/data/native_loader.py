@@ -44,6 +44,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
         ctypes.c_int]
+    lib.dcta_loader_create_strided.restype = ctypes.c_void_p
+    lib.dcta_loader_create_strided.argtypes = \
+        lib.dcta_loader_create.argtypes + [ctypes.c_int, ctypes.c_int]
     lib.dcta_loader_batch_spec.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
@@ -62,7 +65,8 @@ class NativeLoader:
 
     def __init__(self, shard_paths: Sequence[str], batch_size: int,
                  workers: int = 4, prefetch: int = 8, seed: int = 0,
-                 drop_last: bool = False, loop: bool = False):
+                 drop_last: bool = False, loop: bool = False,
+                 stride: int = 1, offset: int = 0):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native loader unavailable (build failed); "
@@ -71,9 +75,16 @@ class NativeLoader:
         arr = (ctypes.c_char_p * len(shard_paths))(
             *[p.encode() for p in shard_paths])
         self._h = ctypes.c_int(); self._w = ctypes.c_int(); self._c = ctypes.c_int()
-        self._ptr = lib.dcta_loader_create(arr, len(shard_paths), batch_size,
-                                           workers, prefetch, seed,
-                                           int(drop_last), int(loop))
+        if stride > 1:
+            # disjoint sample partition offset::stride (DistributedSampler
+            # role when shard files are shared across processes)
+            self._ptr = lib.dcta_loader_create_strided(
+                arr, len(shard_paths), batch_size, workers, prefetch, seed,
+                int(drop_last), int(loop), stride, offset)
+        else:
+            self._ptr = lib.dcta_loader_create(
+                arr, len(shard_paths), batch_size, workers, prefetch, seed,
+                int(drop_last), int(loop))
         if not self._ptr:
             raise RuntimeError(f"failed to open shards {list(shard_paths)[:2]}...")
         lib.dcta_loader_batch_spec(self._ptr, ctypes.byref(self._h),

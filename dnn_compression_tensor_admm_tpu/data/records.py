@@ -35,6 +35,14 @@ def write_shards(images: np.ndarray, labels: np.ndarray, out_dir: str,
     return paths
 
 
+def shard_sample_count(path: str) -> int:
+    """Record count from the 20-byte shard header (no data read)."""
+    with open(path, "rb") as f:
+        magic, count, _, _, _ = struct.unpack("<5I", f.read(20))
+        assert magic == MAGIC, f"bad magic in {path}"
+    return int(count)
+
+
 def read_shard(path: str) -> Tuple[np.ndarray, np.ndarray]:
     with open(path, "rb") as f:
         magic, count, h, w, c = struct.unpack("<5I", f.read(20))

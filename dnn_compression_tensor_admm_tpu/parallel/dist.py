@@ -138,13 +138,19 @@ def make_global_batch_fn(mesh, batch_size: int):
 
 def partition_shard_paths(paths, process_index: int, process_count: int,
                           seed: int = 0):
-    """Split DCTA shard files across processes (DistributedSampler role).
-    With fewer files than processes every process reads all files but
-    reshuffles with a different seed (sampling disjointness then comes
-    from the loader's per-process shuffle order)."""
-    if process_count <= 1 or len(paths) < process_count:
-        return list(paths), seed + process_index
-    return list(paths)[process_index::process_count], seed
+    """Split DCTA shards across processes (DistributedSampler role).
+
+    Returns (paths, seed, stride, offset) for NativeLoader. With at least
+    one file per process, files are split round-robin (stride 1). With
+    fewer files than processes, every process opens all files and the
+    loader serves the DISJOINT sample rows process_index::process_count
+    of the global index (native/dataloader.cc strided partition) —
+    independent shuffles alone would give overlapping global batches."""
+    if process_count <= 1:
+        return list(paths), seed, 1, 0
+    if len(paths) < process_count:
+        return list(paths), seed, process_count, process_index
+    return list(paths)[process_index::process_count], seed, 1, 0
 
 
 def replicate_state_global(state, mesh):

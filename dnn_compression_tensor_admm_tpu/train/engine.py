@@ -438,10 +438,18 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
             # multi-host streaming: each process loads its partition of
             # the shard files and contributes batch/process_count rows per
             # step; the global batch is assembled below
-            # (parallel/dist.py::make_global_batch_fn)
+            # (parallel/dist.py::make_global_batch_fn). The GLOBAL sample
+            # count is taken from every shard header BEFORE partitioning
+            # so steps (and the LR-schedule length) are identical on every
+            # process even when the file split is uneven — otherwise
+            # processes dispatch different numbers of collective-bearing
+            # steps on the same mesh and hang.
+            from ..data.records import shard_sample_count
             from ..parallel.dist import partition_shard_paths
-            train_paths, loader_seed = partition_shard_paths(
-                train_paths, jax.process_index(), jax.process_count(), cfg.seed)
+            global_samples = sum(shard_sample_count(p) for p in train_paths)
+            train_paths, loader_seed, loader_stride, loader_offset = \
+                partition_shard_paths(train_paths, jax.process_index(),
+                                      jax.process_count(), cfg.seed)
     else:
         x_tr, y_tr, info = load_dataset(cfg.dataset, True, cfg.data_dir,
                                         synthetic_size=cfg.synthetic_size)
@@ -462,8 +470,11 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                              f"across {jax.process_count()} processes")
         loader = NativeLoader(train_paths, per_proc_batch,
                               workers=cfg.loader_workers, seed=loader_seed,
-                              drop_last=True, loop=True)
-        steps = cfg.steps_per_epoch or max(1, loader.total // per_proc_batch)
+                              drop_last=True, loop=True,
+                              stride=loader_stride, offset=loader_offset)
+        # steps from the GLOBAL count (identical on every process; the
+        # looped loader serves any number of per-process batches)
+        steps = cfg.steps_per_epoch or max(1, global_samples // cfg.batch_size)
     else:
         steps = cfg.steps_per_epoch or max(1, len(x_tr) // cfg.batch_size)
     sched = make_schedule(cfg.sched, cfg.lr, cfg.epochs, steps,

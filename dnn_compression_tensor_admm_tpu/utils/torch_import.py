@@ -142,6 +142,13 @@ def load_torch_state_dict(path: str, prefer_torch: bool = True) -> Dict[str, np.
             return _flatten_torch(obj)
         except ImportError:
             pass
+        except Exception:
+            # torch importable but its reader failed (weights_only kwarg
+            # absent before 1.13, UnpicklingError on wrapped non-tensor
+            # objects, ...): the restricted zip reader below handles the
+            # standard zip format regardless — fall through rather than
+            # surface torch's error for a file we can read ourselves
+            pass
     with zipfile.ZipFile(path) as zf:
         names = zf.namelist()
         pkl = next(n for n in names if n.endswith("data.pkl"))

@@ -17,6 +17,9 @@
 //   void* dcta_loader_create(const char** paths, int n_paths, int batch,
 //                            int workers, int prefetch, uint64 seed,
 //                            int drop_last, int loop);
+//   void* dcta_loader_create_strided(..., int stride, int offset);
+//        same, but serves only rows offset::stride of the global sample
+//        index (disjoint per-process partitions from shared shard files);
 //   int  dcta_loader_batch_spec(void*, int* h, int* w, int* c);
 //   long dcta_loader_total(void*);
 //   int  dcta_loader_next(void*, uint8_t* images, int32_t* labels);
@@ -55,7 +58,8 @@ struct Batch {
 class Loader {
  public:
   Loader(std::vector<std::string> paths, int batch, int workers, int prefetch,
-         uint64_t seed, bool drop_last, bool loop)
+         uint64_t seed, bool drop_last, bool loop, int stride = 1,
+         int offset = 0)
       : batch_(batch), prefetch_(prefetch), drop_last_(drop_last), loop_(loop),
         rng_(seed) {
     for (auto& p : paths) {
@@ -78,6 +82,17 @@ class Loader {
     for (uint32_t si = 0; si < shards_.size(); ++si)
       for (uint32_t i = 0; i < shards_[si].count; ++i)
         index_.push_back(((uint64_t)si << 32) | i);
+    // sample-level strided partition (DistributedSampler disjointness when
+    // there are fewer shard files than processes): keep rows
+    // offset::stride of the unshuffled global index, shuffle per epoch
+    if (stride > 1) {
+      std::vector<uint64_t> part;
+      part.reserve(index_.size() / stride + 1);
+      for (uint64_t i = offset; i < index_.size(); i += stride)
+        part.push_back(index_[i]);
+      index_.swap(part);
+      total_ = index_.size();
+    }
     start_epoch();
     for (int i = 0; i < workers; ++i)
       threads_.emplace_back([this] { worker(); });
@@ -207,6 +222,19 @@ void* dcta_loader_create(const char** paths, int n_paths, int batch,
   std::vector<std::string> ps(paths, paths + n_paths);
   auto* l = new Loader(std::move(ps), batch, workers, prefetch, seed,
                        drop_last != 0, loop != 0);
+  if (!l->ok()) { delete l; return nullptr; }
+  return l;
+}
+
+// strided variant: each caller sees rows offset::stride of the global
+// sample index (disjoint across offsets; DistributedSampler role)
+void* dcta_loader_create_strided(const char** paths, int n_paths, int batch,
+                                 int workers, int prefetch, uint64_t seed,
+                                 int drop_last, int loop, int stride,
+                                 int offset) {
+  std::vector<std::string> ps(paths, paths + n_paths);
+  auto* l = new Loader(std::move(ps), batch, workers, prefetch, seed,
+                       drop_last != 0, loop != 0, stride, offset);
   if (!l->ok()) { delete l; return nullptr; }
   return l;
 }

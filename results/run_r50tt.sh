@@ -7,6 +7,10 @@
 # present). lr=0.1 for the from-scratch synthetic ADMM leg (reference
 # trains from a pretrained net at lr=0.01; from-scratch on the hard set
 # needs the standard resnet lr, as the r18tt run established), FT lr=0.01.
+# warmup+clip-grad: a first attempt at plain lr=0.1 NaN'd at epoch 58
+# (deep-resnet from-scratch instability; acc 0.84, residuals decaying
+# smoothly until the blowup) — 5-epoch warmup + global-norm clip 1.0 is
+# the standard mitigation and does not change the ADMM recipe.
 set -e
 cd "$(dirname "$0")/.."
 OUT=results/r50tt_r05
@@ -29,8 +33,9 @@ fi
 echo "=== ResNet50 TT-general ADMM (150 epochs, reference epoch count) ==="
 python main.py --model resnet50 --dataset synthetic-hard-imagenet \
   --shard-dir "$SHARDS" --shard-cache hbm \
-  --admm --format tt --ratio 3 --tt-type general --rho 0.001 --adjust-rho \
-  --epochs 150 --lr 0.1 --batch-size 256 --smoothing 0.1 \
+  --admm --format tt --ratio 3 --tt-type general --rho 0.001 \
+  --epochs 150 --lr 0.1 --warmup-epochs 5 --clip-grad 1.0 \
+  --batch-size 256 --smoothing 0.1 \
   --eval-every 10 --verbose --save-model --save-log --output-dir "$OUT" \
   > "$OUT/admm_stdout.log" 2>&1
 CK=$(ls -t "$OUT"/resnet50_*_admm_tt_*_model.msgpack | head -1)

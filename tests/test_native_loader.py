@@ -82,3 +82,38 @@ class TestNative:
         dt = time.perf_counter() - t0
         loader.close()
         assert n / dt > 5000  # tiny 8x8 records: should be very fast
+
+
+class TestStridedPartition:
+    def test_disjoint_and_complete_across_offsets(self, shards):
+        # 3 virtual processes over the SAME files: the strided loaders'
+        # label sets must partition the full dataset (DistributedSampler
+        # disjointness — reference uses torch DistributedSampler)
+        paths, _, labels = shards
+        seen_sets = []
+        for off in range(3):
+            loader = NativeLoader(paths, batch_size=16, workers=2, seed=7,
+                                  stride=3, offset=off)
+            assert loader.total == len(range(off, 250, 3))
+            got = []
+            for _, yb, n in loader:
+                got.extend(yb[:n].tolist())
+            loader.close()
+            seen_sets.append(set(got))
+        assert seen_sets[0] | seen_sets[1] | seen_sets[2] == set(labels.tolist())
+        assert not (seen_sets[0] & seen_sets[1])
+        assert not (seen_sets[0] & seen_sets[2])
+        assert not (seen_sets[1] & seen_sets[2])
+
+    def test_partition_shard_paths_modes(self, shards):
+        from dnn_compression_tensor_admm_tpu.parallel.dist import (
+            partition_shard_paths)
+        paths, _, _ = shards
+        # enough files: file-level split, no striding
+        p0, s0, st0, of0 = partition_shard_paths(paths, 0, 3, seed=5)
+        p1, _, _, _ = partition_shard_paths(paths, 1, 3, seed=5)
+        assert st0 == 1 and of0 == 0 and s0 == 5
+        assert not (set(p0) & set(p1))
+        # fewer files than processes: shared files + sample striding
+        p, s, st, of = partition_shard_paths(paths, 2, 8, seed=5)
+        assert list(p) == list(paths) and st == 8 and of == 2 and s == 5
