@@ -370,11 +370,20 @@ def make_eval_step(model, mean=None, std=None):
 
 
 def evaluate_model(model, variables, x_np, y_np, info, batch_size=512,
-                   eval_step=None):
+                   eval_step=None, mesh=None):
     """Top-1/top-5/loss over a numpy eval set (reference evaluate,
-    engines.py:36-65)."""
+    engines.py:36-65, run under DDP with a DistributedSampler).
+
+    With `mesh` on a multi-process launch the global-batch path is
+    REQUIRED: plain jit over process-local batches mixed with the
+    mesh-global replicated params rejects the non-addressable inputs.
+    Single-process, any mesh degenerates to sharded device_puts, so the
+    virtual 8-device mesh exercises the identical code path."""
     if eval_step is None:
         eval_step = make_eval_step(model, info.mean, info.std)
+    if mesh is not None:
+        return _evaluate_on_mesh(variables, x_np, y_np, info, mesh,
+                                 batch_size, eval_step)
     in_jit_norm = getattr(eval_step, "takes_uint8", False)
     t1 = t5 = ls = n = 0.0
     mean = np.asarray(info.mean) * 255.0
@@ -383,6 +392,56 @@ def evaluate_model(model, variables, x_np, y_np, info, batch_size=512,
         xf = xb if in_jit_norm else (xb.astype(np.float32) - mean) / std
         a, b, c, d = eval_step(variables, jnp.asarray(xf), jnp.asarray(yb),
                                jnp.asarray(valid))
+        t1 += float(a); t5 += float(b); ls += float(c); n += float(d)
+    return {"acc1": 100.0 * t1 / n, "acc5": 100.0 * t5 / n, "loss": ls / n}
+
+
+def _evaluate_on_mesh(variables, x_np, y_np, info, mesh, batch_size,
+                      eval_step):
+    """Mesh-global eval: every process holds the full val set (val shards
+    are read whole per process), takes the strided slice
+    process_index::process_count, and contributes its rows of each global
+    batch via `make_array_from_process_local_data`; the jitted step's
+    sums over the 'data'-sharded batch lower to psums, so every process
+    reads identical replicated totals."""
+    import math
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    pc, pi = jax.process_count(), jax.process_index()
+    n_data = mesh.shape.get("data", 1)
+    lcm = math.lcm(n_data, pc)
+    batch_size = max(1, batch_size // lcm) * lcm
+    per_proc = batch_size // pc
+    lx, ly = x_np[pi::pc], y_np[pi::pc]
+    # identical step count on every process, from the GLOBAL set size
+    max_local = -(-len(x_np) // pc)
+    steps = max(1, -(-max_local // per_proc))
+    in_jit_norm = getattr(eval_step, "takes_uint8", False)
+    mean = np.asarray(info.mean) * 255.0
+    std = np.asarray(info.std) * 255.0
+    sx = None
+    sy = NamedSharding(mesh, P("data"))
+    t1 = t5 = ls = n = 0.0
+    for s in range(steps):
+        lo = s * per_proc
+        xb, yb = lx[lo:lo + per_proc], ly[lo:lo + per_proc]
+        k = len(xb)
+        if k < per_proc:
+            xb = np.concatenate([xb, np.zeros((per_proc - k,) + xb.shape[1:],
+                                              xb.dtype)]) if k else \
+                np.zeros((per_proc,) + lx.shape[1:], lx.dtype)
+            yb = np.concatenate([yb, np.zeros(per_proc - k, y_np.dtype)])
+        valid = (np.arange(per_proc) < k).astype(np.float32)
+        xf = xb if in_jit_norm else (xb.astype(np.float32) - mean) / std
+        xf = np.ascontiguousarray(xf)
+        if sx is None:
+            sx = NamedSharding(mesh, P("data", *([None] * (xf.ndim - 1))))
+        gx = jax.make_array_from_process_local_data(
+            sx, xf, global_shape=(batch_size,) + xf.shape[1:])
+        gy = jax.make_array_from_process_local_data(
+            sy, np.ascontiguousarray(yb), global_shape=(batch_size,))
+        gv = jax.make_array_from_process_local_data(
+            sy, valid, global_shape=(batch_size,))
+        a, b, c, d = eval_step(variables, gx, gy, gv)
         t1 += float(a); t5 += float(b); ls += float(c); n += float(d)
     return {"acc1": 100.0 * t1 / n, "acc5": 100.0 * t5 / n, "loss": ls / n}
 
@@ -498,6 +557,10 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
     # replicated global array per leaf before any sharded computation runs
     # (the reference replicates via DDP broadcast, engines.py:154).
     multi_process = mesh is not None and jax.process_count() > 1
+    # multi-process eval must go through the mesh-global batch path
+    # (plain jit rejects local batches mixed with global params);
+    # single-process the local path is equivalent and cheaper
+    eval_mesh = mesh if multi_process else None
     if multi_process:
         from ..parallel.dist import replicate_state_global
         state = replicate_state_global(state, mesh)
@@ -627,14 +690,14 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                          or epoch + k == epochs):
                     t_ev = time.time()
                     ev = evaluate_model(model, state.variables(), x_va, y_va,
-                                        info, eval_step=eval_step)
+                                        info, eval_step=eval_step, mesh=eval_mesh)
                     row.update({f"test_{kk}": v for kk, v in ev.items()})
                     row["eval_time_s"] = round(time.time() - t_ev, 4)
                     if cfg.ema_decay > 0:
                         ev_ema = evaluate_model(model,
                                                 state.variables(use_ema=True),
                                                 x_va, y_va, info,
-                                                eval_step=eval_step)
+                                                eval_step=eval_step, mesh=eval_mesh)
                         row.update({f"ema_{kk}": v for kk, v in ev_ema.items()})
                 history.append(row)
                 log(json.dumps(row))
@@ -710,7 +773,7 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                 and x_va is not None:
             t_ev = time.time()
             ev = evaluate_model(model, state.variables(), x_va, y_va, info,
-                                eval_step=eval_step)
+                                eval_step=eval_step, mesh=eval_mesh)
             row.update({f"test_{k}": v for k, v in ev.items()})
             row["eval_time_s"] = round(time.time() - t_ev, 4)
             if cfg.ema_decay > 0:
@@ -718,7 +781,7 @@ def train_model(cfg: TrainConfig, *, init_variables=None, max_epochs=None,
                 # model_ema, engines.py:143-150,349) — report it alongside
                 # the raw params every eval epoch
                 ev_ema = evaluate_model(model, state.variables(use_ema=True),
-                                        x_va, y_va, info, eval_step=eval_step)
+                                        x_va, y_va, info, eval_step=eval_step, mesh=eval_mesh)
                 row.update({f"ema_{k}": v for k, v in ev_ema.items()})
         history.append(row)
         log(json.dumps(row))

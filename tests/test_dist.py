@@ -195,3 +195,53 @@ class TestChunkedEpochsOnMesh:
         state, hist = train_model(cfg, mesh=make_mesh(n_data=4, n_layer=2))
         assert len(hist) == 2
         assert all(np.isfinite(h["train_loss"]) for h in hist)
+
+
+class TestMeshEval:
+    def test_mesh_eval_matches_local_eval(self):
+        # the multi-host eval path (global batches assembled from
+        # process-local slices + psum-lowered sums) must agree exactly
+        # with the plain local path; single-process on the virtual mesh
+        # runs the identical code (reference evaluates under DDP,
+        # engines.py:36-65)
+        from dnn_compression_tensor_admm_tpu.data.datasets import (
+            dataset_info, load_dataset)
+        from dnn_compression_tensor_admm_tpu.models import create_model
+        from dnn_compression_tensor_admm_tpu.train.engine import evaluate_model
+        info = dataset_info("synthetic-cifar10")
+        x, y, _ = load_dataset("synthetic-cifar10", False, None,
+                               synthetic_size=52)  # odd tail: pad+valid path
+        model = create_model("resnet20", num_classes=10)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(rng, jnp.zeros((1, 32, 32, 3)), train=False)
+        local = evaluate_model(model, variables, x, y, info, batch_size=16)
+        mesh = make_mesh(n_data=8, n_layer=1)
+        on_mesh = evaluate_model(model, variables, x, y, info, batch_size=16,
+                                 mesh=mesh)
+        assert abs(local["acc1"] - on_mesh["acc1"]) < 1e-4
+        assert abs(local["acc5"] - on_mesh["acc5"]) < 1e-4
+        assert abs(local["loss"] - on_mesh["loss"]) < 1e-4
+
+    def test_mesh_eval_odd_tail_counts_every_sample_once(self):
+        # 52 samples / batch 16 -> 4 steps with a 4-row padded tail: the
+        # valid-mask path must count each sample exactly once (loss mean
+        # over n=52, not over the padded 64)
+        from dnn_compression_tensor_admm_tpu.data.datasets import (
+            dataset_info, load_dataset)
+        from dnn_compression_tensor_admm_tpu.models import create_model
+        from dnn_compression_tensor_admm_tpu.train.engine import (
+            evaluate_model, make_eval_step)
+        info = dataset_info("synthetic-cifar10")
+        x, y, _ = load_dataset("synthetic-cifar10", False, None,
+                               synthetic_size=52)
+        model = create_model("resnet20", num_classes=10)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)), train=False)
+        mesh = make_mesh(n_data=8, n_layer=1)
+        # duplicate-free coverage shows up as acc invariance to batch size
+        a16 = evaluate_model(model, variables, x, y, info, batch_size=16,
+                             mesh=mesh)
+        a52 = evaluate_model(model, variables, x, y, info, batch_size=56,
+                             mesh=mesh)
+        assert abs(a16["acc1"] - a52["acc1"]) < 1e-4
+        assert abs(a16["loss"] - a52["loss"]) < 1e-4
