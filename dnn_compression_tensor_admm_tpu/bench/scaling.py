@@ -98,6 +98,56 @@ def measure_control(n_devices: int, size: int = 768, iters: int = 12,
             round(flops / dt / 1e9, 1)}
 
 
+def measure_control_step(n_devices: int, batch_per_device: int = 32,
+                         model: str = "resnet20", iters: int = 4,
+                         reps: int = 3) -> dict:
+    """MATCHED-working-set, communication-free control (VERDICT r4 weak
+    #2: the matmul-chain control's working set is much smaller than the
+    train step's, leaving the corrected efficiency confounded). Each
+    device runs the SAME fwd+bwd the dense row runs — same model, same
+    per-device batch — with gradients kept local (no psum, i.e. 'the
+    train step with collectives compiled out'). On real hardware this
+    weak-scales at 1.0 by construction; its efficiency drop on the
+    virtual mesh IS the shared-core artifact at the train step's own
+    cache/HBM footprint."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from ..models import create_model
+    from ..utils.profiling import device_sync
+
+    m = create_model(model)
+    x1 = jnp.zeros((batch_per_device, 32, 32, 3), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x1, train=False)["params"]
+
+    def loss_fn(p, xb):
+        logits = m.apply({"params": p}, xb, train=False)
+        lse = jax.scipy.special.logsumexp(logits, -1)
+        return jnp.mean(lse - logits[:, 0])
+
+    def local(xb):                      # [1, b, 32, 32, 3] local block
+        def body(_, b):
+            l, g = jax.value_and_grad(loss_fn)(params, b[0])
+            gn = sum(jnp.sum(t.astype(jnp.float32) ** 2)
+                     for t in jax.tree_util.tree_leaves(g))
+            return b * (1.0 + 0.0 * l) + gn * 1e-12  # data-dep carry
+        return jax.lax.fori_loop(0, iters, body, xb)
+
+    mesh = Mesh(np.array(jax.devices()[:n_devices]), ("d",))
+    x = jnp.ones((n_devices, 1, batch_per_device, 32, 32, 3), jnp.float32)
+    f = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=P("d"),
+                              out_specs=P("d"), check_vma=False))
+    y = f(x)
+    device_sync(y)
+    t0 = time.time()
+    for _ in range(reps):
+        y = f(y)
+    device_sync(y)
+    dt = (time.time() - t0) / reps
+    return {"devices": n_devices, "control_step_s": round(dt, 4)}
+
+
 def main(argv=None):
     if os.environ.get("DCTA_PLATFORM"):
         import jax
@@ -111,22 +161,32 @@ def main(argv=None):
     ns = [int(a) for a in argv if not a.startswith("-")] or [1, 2, 4, 8]
     steps = 16 if not admm else 4
     controls = {n: measure_control(n) for n in ns}
+    step_controls = {n: measure_control_step(n) for n in ns}
     results = [measure(n, steps=steps, admm=admm) for n in ns]
     base = results[0]
     cbase = controls[base["devices"]]
+    sbase = step_controls[base["devices"]]
     for r in results:
         c = controls[r["devices"]]
+        s = step_controls[r["devices"]]
         raw = ((r["images_per_s"] / base["images_per_s"]) /
                (r["devices"] / base["devices"]))
-        # the control's own weak-scaling efficiency at this device count
+        # each control's own weak-scaling efficiency at this device count
         # (time should stay constant; shared host cores make it grow)
         host_artifact = cbase["control_s"] / c["control_s"]
+        step_artifact = sbase["control_step_s"] / s["control_step_s"]
         r["control_gflops_s"] = c["control_gflops_s"]
         r["scaling_efficiency_vs_1dev"] = round(raw, 3)
         r["host_artifact_efficiency"] = round(host_artifact, 3)
+        r["step_control_artifact_efficiency"] = round(step_artifact, 3)
         # efficiency with the host's shared-core artifact divided out:
-        # ~1.0 here means the sharded program itself adds no overhead
-        r["corrected_efficiency"] = round(raw / max(host_artifact, 1e-9), 3)
+        # ~1.0 here means the sharded program itself adds no overhead.
+        # corrected_efficiency uses the matched-working-set train-step
+        # control (collectives compiled out); the matmul-chain version is
+        # kept as corrected_efficiency_matmul_ctl for continuity with r4
+        r["corrected_efficiency"] = round(raw / max(step_artifact, 1e-9), 3)
+        r["corrected_efficiency_matmul_ctl"] = round(
+            raw / max(host_artifact, 1e-9), 3)
         print(json.dumps(r))
     return results
 

@@ -56,8 +56,24 @@ def measure(n_layer: int, model: str = "resnet32", fmt: str = "tk",
         new_state, res = step(params, new_state)
     device_sync(res)
     dt = (time.perf_counter() - t0) / iters
+    # analytic work model for the SHARED-CORE virtual mesh: each bucket's
+    # [L] stack pads to n*ceil(L/n) solver slots (zero-padding solves run
+    # the full solver on zeros), and the virtual mesh serializes total
+    # slots over the same host cores, while real hardware pays only the
+    # max PER-DEVICE load ceil(L/n). slots_inflation is the padded-work
+    # multiplier the virtual measurement carries; real_latency_model is
+    # the speedup an n-real-device mesh would see for the solver region
+    # (sum L / sum ceil(L/n), weighted by per-layer cost ~ equal within
+    # this config's buckets).
+    sizes = [len(g.names) for g in program.groups]
+    import math
+    slots = sum(n_layer * math.ceil(l / n_layer) for l in sizes)
+    inflation = slots / sum(sizes)
+    real_model = sum(sizes) / sum(math.ceil(l / n_layer) for l in sizes)
     return {"n_layer_shards": n_layer, "method": method,
-            "z_step_ms": round(1000 * dt, 2), "layers": len(program.paths)}
+            "z_step_ms": round(1000 * dt, 2), "layers": len(program.paths),
+            "slots_inflation": round(inflation, 3),
+            "real_latency_model_x": round(real_model, 2)}
 
 
 def measure_isolated(n_layer: int, method: str = "ns", layers: int = 32,

@@ -305,9 +305,13 @@ def main(argv=None):
             sz = info.input_size
             shape = (args.batch_size, sz, sz, len(info.mean))
             if args.export_onnx:
-                from ..utils.onnx_export import export_resnet_onnx
-                export_resnet_onnx(init_variables, args.export_onnx,
-                                   num_classes=num_classes, input_size=sz)
+                from ..models.vit import _VIT_CFGS
+                from ..utils.onnx_export import export_onnx
+                heads = next((h for k, (_, _, h) in _VIT_CFGS.items()
+                              if args.model.endswith(k)), None)
+                export_onnx(init_variables, args.export_onnx,
+                            num_classes=num_classes, input_size=sz,
+                            num_heads=heads)
                 print(f"exported ONNX model to {args.export_onnx}")
             if args.export:
                 from ..utils.export import export_model

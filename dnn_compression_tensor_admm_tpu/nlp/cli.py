@@ -64,6 +64,13 @@ def _plan(args):
 
 
 def main(argv=None):
+    import os
+    if os.environ.get("DCTA_PLATFORM"):
+        # honor an explicit platform request (e.g. DCTA_PLATFORM=cpu);
+        # some PJRT plugins ignore the JAX_PLATFORMS env var, the config
+        # update is the reliable route (same handling as cli/main.py:168)
+        import jax
+        jax.config.update("jax_platforms", os.environ["DCTA_PLATFORM"])
     ap = argparse.ArgumentParser(prog="dnn_compression_tensor_admm_tpu.nlp",
                                  description=__doc__.split("\n")[0])
     sub = ap.add_subparsers(dest="cmd", required=True)

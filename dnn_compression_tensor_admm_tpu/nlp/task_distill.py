@@ -161,6 +161,25 @@ def run_task_distillation(cfg: DistillConfig, teacher_variables=None):
 
     history = []
 
+    # teacher dev score first: the baseline the distilled student is
+    # judged against (the reference prints it via do_eval on the teacher,
+    # task_distill.py:1235-1285)
+    @jax.jit
+    def teacher_eval_step(b):
+        out = t_apply(teacher_variables, b)
+        if regression:
+            return out["logits"].ravel()
+        return jnp.argmax(out["logits"], -1)
+
+    t_preds, t_labels = [], []
+    for b in _batches(dev, cfg.batch_size, np.random.RandomState(0)):
+        t_preds.append(np.asarray(teacher_eval_step(b)))
+        t_labels.append(np.asarray(b["labels"]))
+    trow = {"stage": 0, "teacher": True,
+            **glue_metric(cfg.task, np.concatenate(t_preds),
+                          np.concatenate(t_labels))}
+    history.append(trow); log(trow)
+
     # ---- stage 1: attention + hidden MSE (pred_distill=False) ------------
     steps1 = max(1, len(train["labels"]) // cfg.batch_size) * cfg.stage1_epochs
     steps1 = max(1, steps1 // cfg.grad_accum_steps)  # optimizer updates, not micro-batches

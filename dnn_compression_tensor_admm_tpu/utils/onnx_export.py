@@ -135,7 +135,10 @@ class OnnxGraph:
         return f"{hint}_{self._n}"
 
     def init(self, name: str, arr: np.ndarray) -> str:
-        self.inits.append(tensor_proto(name, np.ascontiguousarray(arr)))
+        a = np.ascontiguousarray(arr)
+        if np.ndim(arr) == 0:
+            a = a.reshape(())  # ascontiguousarray promotes 0-d to [1]
+        self.inits.append(tensor_proto(name, a))
         return name
 
     def node(self, op: str, inputs: Sequence[str], out: str = None, **attrs) -> str:
@@ -342,6 +345,177 @@ def export_resnet_onnx(variables, path: str, *, num_classes: int,
     with open(path, "wb") as f:
         f.write(data)
     return data
+
+
+# ---------------------------------------------------------------------------
+# ViT / DeiT graph emitter (reference convert_onnx_vit.py:73-85)
+
+
+def _linear_chain_matrices(p: Dict, out_features: int) -> List[np.ndarray]:
+    """A (possibly factorized) linear as a chain of [in, out]-oriented
+    matmul matrices: y = x @ M0 @ M1 ... (+ bias). TT linears pre-merge
+    their out/in core chains into two matrices (ops/contractions.py::
+    merge_tt_matrix) — exactly the factorized M-variant forward the
+    reference exports; TK stays the 3-matmul chain, SVD the 2-matmul."""
+    if "kernel" in p:
+        return [_np(p["kernel"])]               # flax Dense stores [in, out]
+    if any(k.startswith("core_") for k in p):   # TT chain
+        from ..ops.contractions import merge_tt_matrix
+        d = sum(k.startswith("core_") for k in p)
+        cores = [p[f"core_{i}"] for i in range(d)]
+        oo, prod = 0, 1
+        while prod < out_features and oo < d:
+            prod *= cores[oo].shape[1]
+            oo += 1
+        if prod != out_features:
+            raise ValueError(
+                f"TT out-chain does not factor out_features={out_features}")
+        a = _np(merge_tt_matrix(cores[:oo]))    # [O, m]
+        b = _np(merge_tt_matrix(cores[oo:]))    # [m, I]
+        return [b.T, a.T]
+    if "core" in p:                             # TK linear
+        return [_np(p["first_factor"]).T, _np(p["core"]).T,
+                _np(p["last_factor"]).T]
+    if "first_factor" in p:                     # SVD linear
+        return [_np(p["first_factor"]).T, _np(p["last_factor"]).T]
+    raise ValueError(f"unrecognized linear params: {sorted(p)}")
+
+
+def _emit_linear_nd(g: OnnxGraph, x: str, p: Dict, prefix: str,
+                    out_features: int) -> str:
+    y = x
+    for j, m in enumerate(_linear_chain_matrices(p, out_features)):
+        wn = g.init(f"{prefix}.m{j}", m)
+        y = g.node("MatMul", [y, wn], out=g.fresh(prefix))
+    if "bias" in p:
+        bn = g.init(f"{prefix}.bias", _np(p["bias"]))
+        y = g.node("Add", [y, bn], out=g.fresh(prefix + ".addb"))
+    return y
+
+
+def _emit_layernorm(g: OnnxGraph, x: str, p: Dict, prefix: str,
+                    eps: float = 1e-6) -> str:
+    """LayerNorm decomposed to opset-13 ops (LayerNormalization itself is
+    opset 17): (x - mean) / sqrt(var + eps) * scale + bias over axis -1."""
+    mu = g.node("ReduceMean", [x], axes=[-1], keepdims=1)
+    d = g.node("Sub", [x, mu])
+    var = g.node("ReduceMean", [g.node("Mul", [d, d])], axes=[-1], keepdims=1)
+    epsn = g.init(f"{prefix}.eps", np.array(eps, np.float32))
+    y = g.node("Div", [d, g.node("Sqrt", [g.node("Add", [var, epsn])])])
+    y = g.node("Mul", [y, g.init(f"{prefix}.scale", _np(p["scale"]))])
+    return g.node("Add", [y, g.init(f"{prefix}.bias", _np(p["bias"]))],
+                  out=g.fresh(prefix))
+
+
+def _emit_gelu(g: OnnxGraph, x: str, prefix: str) -> str:
+    """Exact gelu (flax nn.gelu approximate=False): x/2 * (1 + erf(x/√2)).
+    Erf exists since opset 9; Gelu itself only since opset 20."""
+    sqrt2 = g.init(f"{prefix}.sqrt2", np.array(np.sqrt(2.0), np.float32))
+    half = g.init(f"{prefix}.half", np.array(0.5, np.float32))
+    one = g.init(f"{prefix}.one", np.array(1.0, np.float32))
+    e = g.node("Erf", [g.node("Div", [x, sqrt2])])
+    return g.node("Mul", [g.node("Mul", [x, half]),
+                          g.node("Add", [e, one])], out=g.fresh(prefix))
+
+
+def _emit_attention(g: OnnxGraph, x: str, p: Dict, prefix: str,
+                    dim: int, num_heads: int) -> str:
+    """Multi-head self-attention matching models/vit.py::Attention."""
+    hd = dim // num_heads
+    qkv = _emit_linear_nd(g, x, p["qkv"], f"{prefix}.qkv", 3 * dim)
+    shp = g.init(g.fresh(f"{prefix}.shp5"),
+                 np.array([1, -1, 3, num_heads, hd], np.int64))
+    y = g.node("Reshape", [qkv, shp])
+    y = g.node("Transpose", [y], perm=[2, 0, 3, 1, 4])
+    qkv_split = []
+    for j in range(3):
+        idx = g.init(g.fresh(f"{prefix}.i{j}"), np.array(j, np.int64))
+        qkv_split.append(g.node("Gather", [y, idx], axis=0))
+    q, k, v = qkv_split                          # [B, h, N, hd]
+    kt = g.node("Transpose", [k], perm=[0, 1, 3, 2])
+    scale = g.init(g.fresh(f"{prefix}.scale"),
+                   np.array(hd ** -0.5, np.float32))
+    attn = g.node("Mul", [g.node("MatMul", [q, kt]), scale])
+    attn = g.node("Softmax", [attn], axis=-1)
+    y = g.node("MatMul", [attn, v])
+    y = g.node("Transpose", [y], perm=[0, 2, 1, 3])
+    shp2 = g.init(g.fresh(f"{prefix}.shp3"), np.array([1, -1, dim], np.int64))
+    y = g.node("Reshape", [y, shp2])
+    return _emit_linear_nd(g, y, p["proj"], f"{prefix}.proj", dim)
+
+
+def export_vit_onnx(variables, path: str, *, num_classes: int,
+                    num_heads: int, input_size: int = 224,
+                    patch_size: int = 16, mlp_ratio: float = 4.0) -> bytes:
+    """Emit a ViT/DeiT (dense or TT/TK/SVD-factorized linears) as a
+    complete ``.onnx`` model, batch 1, NCHW input (reference:
+    convert_onnx_vit.py:73-85 exports the same topology via torch).
+    Factorized attention/MLP linears export as their merged matmul
+    chains; LayerNorm and gelu are decomposed to opset-13 primitives."""
+    params = variables["params"]
+    D = int(params["cls_token"].shape[-1])
+    hidden = int(D * mlp_ratio)
+    depth = sum(1 for k in params if k.startswith("blocks."))
+    g = OnnxGraph("dcta_vit")
+    g.inputs.append(value_info("input", [1, 3, input_size, input_size]))
+
+    pe = params["patch_embed.proj"]
+    w = _np(pe["kernel"]).transpose(3, 2, 0, 1)            # HWIO -> OIHW
+    ins = ["input", g.init("patch_embed.w", w)]
+    if "bias" in pe:
+        ins.append(g.init("patch_embed.b", _np(pe["bias"])))
+    y = g.node("Conv", ins, out="patch_tokens_c",
+               kernel_shape=[patch_size, patch_size],
+               strides=[patch_size, patch_size], pads=[0, 0, 0, 0])
+    shp = g.init("patch_shape", np.array([1, D, -1], np.int64))
+    y = g.node("Reshape", [y, shp])
+    y = g.node("Transpose", [y], perm=[0, 2, 1])           # [1, N, D]
+    cls = g.init("cls_token", _np(params["cls_token"]))    # [1, 1, D]
+    y = g.node("Concat", [cls, y], axis=1)
+    pos = g.init("pos_embed", _np(params["pos_embed"]))
+    y = g.node("Add", [y, pos])
+
+    for i in range(depth):
+        b = params[f"blocks.{i}"]
+        pre = f"blocks.{i}"
+        t = _emit_layernorm(g, y, b["norm1"], f"{pre}.norm1")
+        t = _emit_attention(g, t, b["attn"], f"{pre}.attn", D, num_heads)
+        y = g.node("Add", [y, t], out=g.fresh(f"{pre}.res1"))
+        t = _emit_layernorm(g, y, b["norm2"], f"{pre}.norm2")
+        t = _emit_linear_nd(g, t, b["mlp.fc1"], f"{pre}.mlp.fc1", hidden)
+        t = _emit_gelu(g, t, f"{pre}.mlp")
+        t = _emit_linear_nd(g, t, b["mlp.fc2"], f"{pre}.mlp.fc2", D)
+        y = g.node("Add", [y, t], out=g.fresh(f"{pre}.res2"))
+
+    y = _emit_layernorm(g, y, params["norm"], "norm")
+    idx = g.init("cls_idx", np.array(0, np.int64))
+    y = g.node("Gather", [y, idx], axis=1)                 # [1, D]
+    y = emit_gemm(g, y, params["head"], "head")
+    g.outputs.append(value_info(y, [1, num_classes]))
+    data = g.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return data
+
+
+def export_onnx(variables, path: str, *, num_classes: int, input_size: int,
+                num_heads: int = None) -> bytes:
+    """Dispatch on the variables tree: ResNet families -> ResNet emitter,
+    ViT/DeiT -> ViT emitter; anything else gets a clear error instead of
+    an opaque KeyError (advisor r4 finding)."""
+    params = variables["params"]
+    if "patch_embed.proj" in params:
+        if num_heads is None:
+            raise ValueError("ViT ONNX export needs num_heads")
+        return export_vit_onnx(variables, path, num_classes=num_classes,
+                               num_heads=num_heads, input_size=input_size)
+    if "conv1" in params:
+        return export_resnet_onnx(variables, path, num_classes=num_classes,
+                                  input_size=input_size)
+    raise ValueError(
+        "ONNX export supports the ResNet and ViT/DeiT families only; "
+        f"got a variables tree with top-level keys {sorted(params)[:8]} — "
+        "use --export (StableHLO) or --export-savedmodel for other models")
 
 
 def _block_out_channels(block: Dict) -> int:

@@ -105,9 +105,13 @@ class TestGlobalArrays:
 
 class TestZStepCollectiveStructure:
     """Falsifiable artifact for the layer-sharded Z-step's scaling claim
-    (VERDICT r3 item 3a): the compiled program must contain exactly one
-    all-gather per projection bucket and NO collectives reachable from
-    any while loop (the inner solvers must be communication-free)."""
+    (VERDICT r3 item 3a, r4 weak item 1): since round 5 the WHOLE
+    per-bucket step (W+U, projection, dual ascent, residual norms) runs
+    inside the shard_map, so the compiled program must contain exactly
+    THREE all-gathers per projection bucket — the projected Z stack, the
+    updated U stack, and the [L]-float residual-norm vector — all at the
+    shard_map boundary, and NO collectives reachable from any while loop
+    (the inner solvers must be communication-free)."""
 
     @staticmethod
     def _compiled_hlo(method="subspace"):
@@ -157,15 +161,18 @@ class TestZStepCollectiveStructure:
                     while_regions.add(ref)
         return per_comp, calls, while_regions
 
-    def test_one_allgather_per_bucket_none_in_solver_loops(self):
+    def test_three_allgathers_per_bucket_none_in_solver_loops(self):
         hlo, program = self._compiled_hlo()
         per_comp, calls, while_regions = self._parse(hlo)
-        n_collectives = sum(len(v) for v in per_comp.values())
-        # exactly one gather per bucket (the replication of the projected
-        # layer stack); nothing else may communicate
-        assert n_collectives == len(program.groups), (
-            f"{n_collectives} collectives for {len(program.groups)} buckets:"
-            f" {per_comp}")
+        all_lines = [ln for v in per_comp.values() for ln in v]
+        # exactly three gathers per bucket (Z, U, norms — the replication
+        # of the shard_map outputs); nothing else may communicate, and
+        # every collective must be an all-gather (no all-to-all /
+        # collective-permute resharding chains)
+        assert len(all_lines) == 3 * len(program.groups), (
+            f"{len(all_lines)} collectives for {len(program.groups)} "
+            f"buckets: {per_comp}")
+        assert all("all-gather" in ln for ln in all_lines), per_comp
         # transitively: no collective inside any while body/condition
         reach = set()
         frontier = list(while_regions)

@@ -163,7 +163,11 @@ class TestTwoStageDistill:
         variables, hist = run_task_distillation(cfg)
         stages = [h["stage"] for h in hist]
         assert stages.count(1) == 4 and stages.count(2) == 6
-        assert np.isfinite(hist[0]["loss"])
+        # history leads with the teacher's dev score (stage 0) — the
+        # baseline the student's delta is reported against
+        assert hist[0]["stage"] == 0 and hist[0].get("teacher") is True
+        assert "acc" in hist[0]
+        assert np.isfinite(hist[1]["loss"])
         # the synthetic rule is keyword-based: distilled student should
         # beat chance on dev
         assert hist[-1]["acc"] > 0.9, hist[-1]
