@@ -32,6 +32,9 @@ def _add_bert_flags(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--vocab-path", type=str, default=None)
     # compression plan (the reference's 16 compressed_modeling variants)
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override hidden+attention dropout (small synthetic "
+                        "configs learn poorly at the BERT default 0.1)")
     p.add_argument("--linear-format", default="tt",
                    choices=["tt", "svd", "none"])
     p.add_argument("--ratio", dest="linear_ratio", type=float, default=2.0)
@@ -49,6 +52,9 @@ def _bert_config(args):
             if getattr(args, k) is not None}
     if over:
         cfg = dataclasses.replace(cfg, **over)
+    if getattr(args, "dropout", None) is not None:
+        cfg = dataclasses.replace(cfg, dropout=args.dropout,
+                                  attn_dropout=args.dropout)
     return dataclasses.replace(cfg, max_position=max(args.max_seq_length,
                                                      cfg.max_position))
 
@@ -81,11 +87,16 @@ def main(argv=None):
     td.add_argument("--task", default="sst-2")
     td.add_argument("--data-dir", default=None,
                     help="GLUE task directory (TSV files); default synthetic")
+    td.add_argument("--n-synthetic", type=int, default=512,
+                    help="synthetic-corpus size (offline mode)")
     td.add_argument("--stage1-epochs", type=int, default=1)
     td.add_argument("--stage2-epochs", type=int, default=1)
     td.add_argument("--lr-stage1", type=float, default=5e-5)
     td.add_argument("--lr-stage2", type=float, default=3e-5)
     td.add_argument("--grad-accum-steps", type=int, default=1)
+    td.add_argument("--teacher-epochs", type=int, default=4,
+                    help="synthetic-mode teacher fine-tune budget")
+    td.add_argument("--teacher-lr", type=float, default=1e-3)
     td.add_argument("--teacher-path", default=None,
                     help="msgpack of fine-tuned dense teacher variables")
     td.add_argument("--save", default=None, help="save student variables to")
@@ -122,11 +133,13 @@ def main(argv=None):
             teacher_vars = load_variables(args.teacher_path)
         cfg = DistillConfig(
             task=args.task, data_dir=args.data_dir,
+            n_synthetic=args.n_synthetic,
             vocab_path=args.vocab_path,
             max_seq_length=args.max_seq_length, batch_size=args.batch_size,
             stage1_epochs=args.stage1_epochs, stage2_epochs=args.stage2_epochs,
             lr_stage1=args.lr_stage1, lr_stage2=args.lr_stage2,
             grad_accum_steps=args.grad_accum_steps, seed=args.seed,
+            teacher_epochs=args.teacher_epochs, teacher_lr=args.teacher_lr,
             bert=_bert_config(args), plan=_plan(args))
         variables, history = run_task_distillation(cfg, teacher_vars)
         out = history[-1]
