@@ -49,7 +49,14 @@ def measure(n_layer: int, model: str = "resnet32", fmt: str = "tk",
 
     step = jax.jit(partial(admm_update, program=program, update_u=True,
                            method=method, n_iter=6, mesh=mesh))
-    new_state, res = step(params, state)   # compile
+    # TWO warmups: the first compiles for the host-resident initial
+    # state; its OUTPUT state is mesh-replicated, so feeding it back is a
+    # different input sharding and triggers a second compile — which
+    # previously landed INSIDE the timed loop and dominated every
+    # sharded row (rounds 3-4 measured 0.02-0.2x "scaling" that was
+    # ~90% recompilation, not execution; see BENCHNOTES r5)
+    new_state, res = step(params, state)
+    new_state, res = step(params, new_state)
     device_sync(res)
     t0 = time.perf_counter()
     for _ in range(iters):
