@@ -119,10 +119,12 @@ def measure_control_step(n_devices: int, batch_per_device: int = 32,
 
     m = create_model(model)
     x1 = jnp.zeros((batch_per_device, 32, 32, 3), jnp.float32)
-    params = m.init(jax.random.PRNGKey(0), x1, train=False)["params"]
+    variables = m.init(jax.random.PRNGKey(0), x1, train=False)
+    params, stats = variables["params"], variables.get("batch_stats", {})
 
     def loss_fn(p, xb):
-        logits = m.apply({"params": p}, xb, train=False)
+        logits = m.apply({"params": p, "batch_stats": stats}, xb,
+                         train=False)
         lse = jax.scipy.special.logsumexp(logits, -1)
         return jnp.mean(lse - logits[:, 0])
 
@@ -135,7 +137,7 @@ def measure_control_step(n_devices: int, batch_per_device: int = 32,
         return jax.lax.fori_loop(0, iters, body, xb)
 
     mesh = Mesh(np.array(jax.devices()[:n_devices]), ("d",))
-    x = jnp.ones((n_devices, 1, batch_per_device, 32, 32, 3), jnp.float32)
+    x = jnp.ones((n_devices, batch_per_device, 32, 32, 3), jnp.float32)
     f = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=P("d"),
                               out_specs=P("d"), check_vma=False))
     y = f(x)
