@@ -51,8 +51,9 @@ CONFIGS = {
                  metric="admm_iterations_per_s_resnet32_tt3x_b256"),
     # ViT family, TT format (reference README.md:36-38). 128 steps/epoch:
     # still 80x fewer than a real ImageNet epoch (10k steps at b128), so
-    # the per-epoch Z-step (~75 ms measured) is weighted CONSERVATIVELY
-    # vs. real training, without making the bench epoch-dominated by it
+    # the per-epoch Z-step (13.2 ms steady, measured r5 — see
+    # BENCHNOTES deit breakdown) is weighted CONSERVATIVELY vs. real
+    # training, without making the bench epoch-dominated by it
     "deit_tt2": dict(model="deit_tiny_patch16_224", fmt="tt", ratio="2",
                      batch_size=128, steps_per_epoch=128,
                      dataset="synthetic-imagenet", synthetic_size=512,

@@ -261,7 +261,20 @@ def _mesh_size(mesh) -> int:
     return int(np.prod(list(mesh.shape.values())))
 
 
-def _zstep_group_shardmap(g: _Group, ws: jax.Array, us: jax.Array, proj,
+def _finite_or_prev(z: jax.Array, z_prev: jax.Array) -> jax.Array:
+    """Per-layer guard: replace a non-finite projection by the previous
+    Z (skip-this-update ADMM heuristic). Late in training W+U converges
+    onto the rank manifold and the iterative solvers' Gram/Cholesky
+    steps can go singular -> NaN; without the guard one poisoned layer
+    NaNs the penalty and kills a 300-epoch run (observed: deit-small TT
+    ADMM, loss 1.42 -> nan in one epoch with healthy residuals). The
+    reference has no recovery either (it aborts, engines.py:302-304)."""
+    ok = jnp.all(jnp.isfinite(z.reshape(z.shape[0], -1)), axis=1)
+    return jnp.where(ok.reshape((-1,) + (1,) * (z.ndim - 1)), z, z_prev)
+
+
+def _zstep_group_shardmap(g: _Group, ws: jax.Array, us: jax.Array,
+                          zs_prev: jax.Array, proj,
                           mesh, method: str = "subspace", n_iter: int = 10,
                           update_u: bool = True):
     """Layer-sharded FULL Z/U step for one bucket (SURVEY.md §5 north
@@ -290,6 +303,7 @@ def _zstep_group_shardmap(g: _Group, ws: jax.Array, us: jax.Array, proj,
         zpad = jnp.zeros((pad, *ws.shape[1:]), ws.dtype)
         ws = jnp.concatenate([ws, zpad])
         us = jnp.concatenate([us, zpad])
+        zs_prev = jnp.concatenate([zs_prev, zpad])
     # pin the padded stacks REPLICATED: otherwise GSPMD propagates the
     # shard_map's tiled input spec up through the concatenate/stack and
     # partitions them as all-to-all + collective-permute chains (measured:
@@ -300,14 +314,16 @@ def _zstep_group_shardmap(g: _Group, ws: jax.Array, us: jax.Array, proj,
     from ..parallel.mesh import constrain_replicated
     ws = constrain_replicated(ws, mesh)
     us = constrain_replicated(us, mesh)
+    zs_prev = constrain_replicated(zs_prev, mesh)
 
-    def local_block(w_blk, u_blk):
+    def local_block(w_blk, u_blk, zp_blk):
         x = w_blk + u_blk
         z = None
         if method == "pallas":
             z = _project_group_pallas(g, x, n_iter)
         if z is None:
             z = jax.vmap(proj)(x)
+        z = _finite_or_prev(z, zp_blk)
         diff = w_blk - z
         u_new = u_blk + diff if update_u else u_blk
         norms = jnp.sqrt(jnp.sum(
@@ -318,10 +334,10 @@ def _zstep_group_shardmap(g: _Group, ws: jax.Array, us: jax.Array, proj,
     # constants (jnp.eye seeds) that the varying-axis checker rejects;
     # the computation is embarrassingly parallel so the check adds nothing
     f = jax.shard_map(local_block, mesh=mesh,
-                      in_specs=(P(axes), P(axes)),
+                      in_specs=(P(axes), P(axes), P(axes)),
                       out_specs=(P(axes), P(axes), P(axes)),
                       check_vma=False)
-    z, u_new, norms = f(ws, us)
+    z, u_new, norms = f(ws, us, zs_prev)
     z = constrain_replicated(z, mesh)[:l]
     u_new = constrain_replicated(u_new, mesh)[:l]
     norms = constrain_replicated(norms, mesh)[:l]
@@ -354,6 +370,7 @@ def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
     for g in program.groups:
         ws = jnp.stack([_get(params, program.paths[n]) for n in g.names])
         us = jnp.stack([state.u[n] for n in g.names])
+        zs_prev = jnp.stack([state.z[n] for n in g.names])
         eff = "subspace" if method == "pallas" else method
         proj = lambda w: _project_one(g.kind, g.spec, w, method=eff, n_iter=n_iter)
         if mesh is not None and _mesh_size(mesh) > 1:
@@ -366,8 +383,8 @@ def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
             # inner iteration and measured 20-60x slower on an 8-device
             # mesh); Z/U/norms all-gather back to replicated at the end.
             zs, u_new_s, norms = _zstep_group_shardmap(
-                g, ws, us, proj, mesh, method=method, n_iter=n_iter,
-                update_u=update_u)
+                g, ws, us, zs_prev, proj, mesh, method=method,
+                n_iter=n_iter, update_u=update_u)
             for j, n in enumerate(g.names):
                 new_z[n] = zs[j]
                 if update_u:
@@ -379,6 +396,7 @@ def admm_update(params, state: AdmmState, program: ProjectionProgram, *,
             zs = _project_group_pallas(g, ws + us, n_iter)
         if zs is None:
             zs = jax.vmap(proj)(ws + us)
+        zs = _finite_or_prev(zs, zs_prev)
         diffs = ws - zs
         norms = jnp.sqrt(jnp.sum(diffs.reshape(diffs.shape[0], -1) ** 2, axis=1))
         for j, n in enumerate(g.names):

@@ -164,3 +164,52 @@ class TestAnalyticPenaltyGradient:
         for a, b in zip(jax.tree.leaves(auto), jax.tree.leaves(analytic)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-6)
+
+
+class TestNanProjectionGuard:
+    def test_nan_projection_falls_back_to_previous_z(self, monkeypatch):
+        """A solver that NaNs (singular Gram/Cholesky late in training —
+        observed killing a 300-epoch deit-small run) must not poison the
+        state: the layer keeps its previous Z and the dual update stays
+        finite (skip-this-update ADMM heuristic)."""
+        import dnn_compression_tensor_admm_tpu.admm.engine as eng
+        params = _mk_params(jax.random.PRNGKey(0))
+        prog = build_program(params, PLAN)
+        state = admm_init(params, prog)
+
+        orig = eng._project_one
+
+        def poisoned(kind, spec, w, *, method, n_iter):
+            z = orig(kind, spec, w, method=method, n_iter=n_iter)
+            return z * jnp.nan
+
+        monkeypatch.setattr(eng, "_project_one", poisoned)
+        new_state, res = eng.admm_update(params, state, prog,
+                                         method="subspace", n_iter=2)
+        for k in state.z:
+            np.testing.assert_array_equal(np.asarray(new_state.z[k]),
+                                          np.asarray(state.z[k]))
+            assert np.isfinite(np.asarray(new_state.u[k])).all(), k
+            assert np.isfinite(float(res[k])), k
+
+    def test_nan_projection_falls_back_on_mesh(self, monkeypatch):
+        from dnn_compression_tensor_admm_tpu.parallel.mesh import make_mesh
+        import dnn_compression_tensor_admm_tpu.admm.engine as eng
+        params = _mk_params(jax.random.PRNGKey(1))
+        prog = build_program(params, PLAN)
+        state = admm_init(params, prog)
+        orig = eng._project_one
+
+        def poisoned(kind, spec, w, *, method, n_iter):
+            z = orig(kind, spec, w, method=method, n_iter=n_iter)
+            return z * jnp.nan
+
+        monkeypatch.setattr(eng, "_project_one", poisoned)
+        mesh = make_mesh(n_data=1, n_layer=4)
+        new_state, res = eng.admm_update(params, state, prog,
+                                         method="subspace", n_iter=2,
+                                         mesh=mesh)
+        for k in state.z:
+            np.testing.assert_array_equal(np.asarray(new_state.z[k]),
+                                          np.asarray(state.z[k]))
+            assert np.isfinite(np.asarray(new_state.u[k])).all(), k

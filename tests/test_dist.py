@@ -89,6 +89,11 @@ class TestGlobalArrays:
             np.testing.assert_allclose(np.asarray(sh_state.z[k]),
                                        np.asarray(ref_state.z[k]),
                                        atol=2e-4, err_msg=k)
+            # round 5: the dual ascent now also runs inside the
+            # shard_map — pin U as well, not just Z
+            np.testing.assert_allclose(np.asarray(sh_state.u[k]),
+                                       np.asarray(ref_state.u[k]),
+                                       atol=2e-4, err_msg=k)
         for k in ref_res:
             assert abs(float(sh_res[k]) - float(ref_res[k])) < 2e-3
 
